@@ -1,0 +1,342 @@
+"""DPDFNet forward pass — one functional, time-vectorised code path.
+
+The reference maintains four implementations of this network (offline torch,
+streaming torch, ONNX export, TFLite).  Here there is exactly one:
+
+    ``forward_spec(params, cfg, spec, state) -> (spec_e, new_state, lsnr)``
+
+operating on ``spec: [B, T, F, 2]`` (wnorm-scaled STFT frames) with explicit
+carried state.  Offline enhancement runs the whole utterance in a single jit
+(T = all frames); streaming runs the same function on whatever frames are
+buffered (any T >= 1) — outputs are bit-identical regardless of chunking
+because every recurrence carries its state through the pytree.
+
+Semantics follow the reference *streaming* graph
+(`/root/reference/onnx_model/dpdfnet.py:748-806`): output frame ``t`` is the
+enhanced version of input frame ``t-2`` (2-frame lookahead realised as delay
+lines, which become time-axis shifts here), so the enhanced utterance is the
+ISTFT advanced by ``2*win_len`` samples — exactly the reference's offline
+alignment (`/root/reference/onnx_model/dpdfnet.py:854-873`).
+
+TPU-first choices (not translations):
+- convs/linears evaluate over all T at once as large NHWC convs / GEMMs;
+- GRUs hoist input projections out of ``lax.scan`` so only the [B,H]x[H,3H]
+  hidden recurrence is sequential;
+- EMA feature norms use an associative scan (log-depth) instead of the
+  reference's per-frame Python loop (`/root/reference/model/modules.py:479`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import nn as onn
+
+Array = jax.Array
+Params = Dict
+State = Dict
+
+_DB_EPS = 1e-10
+_SPEC_EPS = 1e-12
+
+
+def _to_db(x: Array) -> Array:
+    return 10.0 * jnp.log10(x + _DB_EPS)
+
+
+# --------------------------------------------------------------------------- #
+# Feature extraction (ERB / complex-spec features + EMA norms)
+# --------------------------------------------------------------------------- #
+
+def _features(
+    params: Params, cfg: ModelConfig, spec: Array, state: State
+) -> Tuple[Array, Array, Array, Array]:
+    """Returns (feat_erb [B,T,E], feat_spec [B,T,nb_df,2], mu_last, s_last)."""
+    power = jnp.square(spec[..., 0]) + jnp.square(spec[..., 1])     # [B,T,F]
+    if cfg.hr:
+        # 48 kHz: full-band magnitude in dB (onnx_model/dpdfnet_48khz_hr.py:903)
+        feat_erb_raw = _to_db(jnp.sqrt(power))
+    else:
+        # 16 kHz: ERB-banded power in dB (onnx_model/dpdfnet.py:831-833)
+        feat_erb_raw = _to_db(power @ params["erb_fb"].astype(spec.dtype))
+
+    mu = onn.ema_scan(feat_erb_raw, state["erb_norm"], cfg.alpha)
+    feat_erb = (feat_erb_raw - mu) / 40.0
+
+    feat_spec_raw = spec[:, :, : cfg.nb_df, :]
+    mag = jnp.sqrt(
+        jnp.square(feat_spec_raw[..., 0]) + jnp.square(feat_spec_raw[..., 1])
+    )
+    s = onn.ema_scan(mag, state["spec_norm"], cfg.alpha)
+    feat_spec = feat_spec_raw / jnp.sqrt(s + _SPEC_EPS)[..., None]
+
+    return feat_erb, feat_spec, mu[:, -1], s[:, -1]
+
+
+# --------------------------------------------------------------------------- #
+# DPRNN
+# --------------------------------------------------------------------------- #
+
+def _dprnn_block(
+    p: Params, x: Array, h_inter: Array
+) -> Tuple[Array, Array]:
+    """Dual-path block on x [B,T,Fq,C]; h_inter [B,Fq,C] is the time-GRU carry.
+
+    Intra: bidirectional GRU along frequency (stateless; full axis available
+    each frame).  Inter: unidirectional GRU along time with carried hidden.
+    Reference: `/root/reference/onnx_model/layers.py:109-196`.
+    """
+    B, T, Fq, C = x.shape
+    xi = x.reshape(B * T, Fq, C)
+    yi = onn.gru_bidir(p["intra"]["fw"], p["intra"]["bw"], xi)
+    yi = onn.layer_norm(p["intra"]["ln"], onn.linear(p["intra"]["fc"], yi))
+    x = x + yi.reshape(B, T, Fq, C)
+
+    xt = jnp.swapaxes(x, 1, 2).reshape(B * Fq, T, C)         # [(B F), T, C]
+    yt, h_new = onn.gru_seq(p["inter"]["gru"], xt, h0=h_inter.reshape(B * Fq, C))
+    yt = onn.layer_norm(p["inter"]["ln"], onn.linear(p["inter"]["fc"], yt))
+    y = x + jnp.swapaxes(yt.reshape(B, Fq, T, C), 1, 2)
+    return y, h_new.reshape(B, Fq, C)
+
+
+def _dprnn(
+    p_blocks: List[Params], x: Array, hs: List[Array]
+) -> Tuple[Array, List[Array]]:
+    new_hs: List[Array] = []
+    for p, h in zip(p_blocks, hs):
+        x, h_new = _dprnn_block(p, x, h)
+        new_hs.append(h_new)
+    return x, new_hs
+
+
+# --------------------------------------------------------------------------- #
+# Squeezed GRU stack (grouped-linear in -> GRU layers -> grouped-linear out)
+# --------------------------------------------------------------------------- #
+
+def _squeezed_gru(
+    p: Params, x: Array, hs: List[Array]
+) -> Tuple[Array, List[Array]]:
+    h = onn.grouped_linear(p["lin_in"], x, act="relu")
+    new_hs: List[Array] = []
+    for gp, h0 in zip(p["grus"], hs):
+        h, h_last = onn.gru_seq(gp, h, h0=h0)
+        new_hs.append(h_last)
+    if "lin_out" in p:
+        h = onn.grouped_linear(p["lin_out"], h, act="relu")
+    return h, new_hs
+
+
+# --------------------------------------------------------------------------- #
+# Encoder
+# --------------------------------------------------------------------------- #
+
+def _encoder(
+    params: Params, cfg: ModelConfig, feat_erb: Array, feat_spec: Array, state: State
+) -> Tuple[Tuple[Array, ...], Array, Array, Array, State]:
+    """Returns ((e0,e1,e2,e3), emb, c0, lsnr, state_updates)."""
+    p = params["enc"]
+    kt, kf = cfg.conv_kernel_inp
+    _, kfc = cfg.conv_kernel
+    s1, s2, s3 = cfg.erb_fstrides
+
+    x_erb = feat_erb[..., None]                                  # [B,T,E,1]
+    tail_in = state["erb_conv0_tail"]
+    if cfg.hr:
+        # full-band branch drops the Nyquist bin before conv0
+        x_in, tail = x_erb[:, :, :-1, :], tail_in[:, :, :-1, :]
+    else:
+        x_in, tail = x_erb, tail_in
+    e0, _ = onn.conv_block(p["erb_conv0"], x_in, kt=kt, kf=kf, act="relu",
+                           time_tail=tail)
+    new_erb_tail = jnp.concatenate([tail_in, x_erb], axis=1)[:, -2:]
+
+    e1, _ = onn.conv_block(p["erb_conv1"], e0, kt=1, kf=kfc, fstride=s1,
+                           groups=cfg.conv_ch, act="relu")
+    e2, _ = onn.conv_block(p["erb_conv2"], e1, kt=1, kf=kfc, fstride=s2,
+                           groups=cfg.conv_ch, act="relu")
+    e3, _ = onn.conv_block(p["erb_conv3"], e2, kt=1, kf=kfc, fstride=s3,
+                           groups=cfg.conv_ch, act="relu")
+    e3d, new_dprnn_erb = _dprnn(p["dprnn_erb"], e3, state["dprnn_erb"])
+
+    c0, new_df_tail = onn.conv_block(
+        p["df_conv0"], feat_spec, kt=kt, kf=kf, groups=2, act="relu",
+        time_tail=state["df_conv0_tail"],
+    )
+    c1, _ = onn.conv_block(p["df_conv1"], c0, kt=1, kf=kfc, fstride=2,
+                           groups=cfg.conv_ch, act="relu")
+    c1d, new_dprnn_df = _dprnn(p["dprnn_df"], c1, state["dprnn_df"])
+
+    B, T = feat_erb.shape[:2]
+    cemb = c1d.reshape(B, T, -1)                                  # [(f c)]
+    cemb = onn.grouped_linear(p["df_fc_emb"], cemb, act="relu")
+    emb = e3d.reshape(B, T, -1)
+    if cfg.hr:
+        emb = onn.grouped_linear(p["erb_fc_emb"], emb, act="relu")
+    emb = jnp.concatenate([emb, cemb], axis=-1)
+    emb, new_enc_gru = _squeezed_gru(p["emb_gru"], emb, state["enc_gru"])
+
+    lsnr = jax.nn.sigmoid(onn.linear(p["lsnr"], emb))[..., 0]
+    lsnr = lsnr * (cfg.lsnr_max - cfg.lsnr_min) + cfg.lsnr_min
+
+    updates = {
+        "erb_conv0_tail": new_erb_tail,
+        "df_conv0_tail": new_df_tail,
+        "dprnn_erb": new_dprnn_erb,
+        "dprnn_df": new_dprnn_df,
+        "enc_gru": new_enc_gru,
+    }
+    return (e0, e1, e2, e3), emb, c0, lsnr, updates
+
+
+# --------------------------------------------------------------------------- #
+# Decoders
+# --------------------------------------------------------------------------- #
+
+def _erb_decoder(
+    params: Params, cfg: ModelConfig, emb: Array,
+    e0: Array, e1: Array, e2: Array, e3: Array, hs: List[Array],
+) -> Tuple[Array, List[Array]]:
+    """Predicts the gain mask m [B,T,mask_bins(+1 for hr)]."""
+    p = params["erb_dec"]
+    _, kfc = cfg.conv_kernel
+    st3, st2, st1 = cfg.dec_fstrides
+    C = cfg.conv_ch
+
+    e, new_hs = _squeezed_gru(p["emb_gru"], emb, hs)
+    if cfg.hr:
+        e = onn.grouped_linear(p["erb_fc_emb"], e, act="relu")
+    B, T = e.shape[:2]
+    e = e.reshape(B, T, cfg.dec_f8, C)
+
+    def up(pp, x, fstride):
+        if fstride == 1:
+            y, _ = onn.conv_block(pp, x, kt=1, kf=kfc, groups=C, act="relu")
+            return y
+        return onn.subpixel_block(pp, x, kf=kfc, fstride=fstride, groups=C,
+                                  act="relu")
+
+    def pconv(pp, x):
+        # 1x1 pathway convs are depthwise: Conv2dNormAct computes
+        # groups=gcd(in,out)=C before disabling the pointwise stage
+        # (model/modules.py:685-715).
+        y, _ = onn.conv_block(pp, x, kt=1, kf=1, groups=C, act="relu")
+        return y
+
+    x3 = up(p["convt3"], pconv(p["conv3p"], e3) + e, st3)
+    x2 = up(p["convt2"], pconv(p["conv2p"], e2) + x3, st2)
+    x1 = up(p["convt1"], pconv(p["conv1p"], e1) + x2, st1)
+    m, _ = onn.conv_block(p["conv0_out"], pconv(p["conv0p"], e0) + x1,
+                          kt=1, kf=kfc, act="sigmoid")
+    m = m[..., 0]                                                # [B,T,E0]
+    if cfg.hr:
+        # mirror-duplicate the top bin: 480 -> 481 bins
+        m = jnp.concatenate([m, m[:, :, -2:-1]], axis=-1)
+    return m, new_hs
+
+
+def _df_decoder(
+    params: Params, cfg: ModelConfig, emb: Array, c0: Array, state: State
+) -> Tuple[Array, State]:
+    """Predicts DF coefficients [B,T,nb_df,O,2]."""
+    p = params["df_dec"]
+    c, new_hs = _squeezed_gru(p["df_gru"], emb, state["df_gru"])
+    c = c + onn.grouped_linear(p["df_skip"], emb)
+    c0p, new_tail = onn.conv_block(
+        p["df_convp"], c0, kt=cfg.df_kt, kf=1, groups=2, act="relu",
+        time_tail=state["df_convp_tail"],
+    )                                                            # [B,T,nb_df,2O]
+    c = onn.grouped_linear(p["df_out"], c, act="tanh")
+    B, T = c.shape[:2]
+    c = c.reshape(B, T, cfg.nb_df, 2 * cfg.df_order) + c0p
+    coefs = c.reshape(B, T, cfg.nb_df, cfg.df_order, 2)
+    return coefs, {"df_gru": new_hs, "df_convp_tail": new_tail}
+
+
+# --------------------------------------------------------------------------- #
+# Mask application + deep filtering (delay lines as time shifts)
+# --------------------------------------------------------------------------- #
+
+def _mask_and_df(
+    params: Params, cfg: ModelConfig, spec: Array, m: Array, coefs: Array,
+    state: State,
+) -> Tuple[Array, State]:
+    B, T, F, _ = spec.shape
+    nb, O = cfg.nb_df, cfg.df_order
+
+    if cfg.hr:
+        mask = m                                                  # per-bin
+    else:
+        mask = m @ params["erb_inv_fb"].astype(m.dtype)           # [B,T,F]
+
+    # Mask the 2-frame-delayed spectrum with the current mask (lookahead):
+    # onnx_model/layers.py:414-445.
+    spec_ext = jnp.concatenate([state["mask_spec_tail"], spec], axis=1)
+    masked = spec_ext[:, :T] * mask[..., None]
+    new_mask_tail = spec_ext[:, -2:]
+
+    # Deep filter: 5-frame window of masked spec x 2-frame-delayed coefs
+    # (onnx_model/multiframe.py:200-232).
+    y_ext = jnp.concatenate([state["df_spec_tail"], masked], axis=1)  # [B,T+4,F,2]
+    win = jnp.stack([y_ext[:, n: n + T, :nb] for n in range(O)], axis=2)
+    # win: [B,T,O,nb,2]
+    coefs_ext = jnp.concatenate([state["df_coefs_tail"], coefs], axis=1)
+    cd = jnp.swapaxes(coefs_ext[:, :T], 2, 3)                     # [B,T,O,nb,2]
+
+    wr, wi = win[..., 0], win[..., 1]
+    cr, ci = cd[..., 0], cd[..., 1]
+    out_r = jnp.sum(wr * cr - wi * ci, axis=2)
+    out_i = jnp.sum(wr * ci + wi * cr, axis=2)
+    lower = jnp.stack([out_r, out_i], axis=-1)                    # [B,T,nb,2]
+
+    upper = y_ext[:, 2: 2 + T, nb:]                               # masked[t-2]
+    spec_e = jnp.concatenate([lower, upper], axis=2)
+
+    updates = {
+        "mask_spec_tail": new_mask_tail,
+        "df_spec_tail": y_ext[:, -4:],
+        "df_coefs_tail": coefs_ext[:, -2:],
+    }
+    return spec_e, updates
+
+
+# --------------------------------------------------------------------------- #
+# Full forward
+# --------------------------------------------------------------------------- #
+
+def forward_spec(
+    params: Params, cfg: ModelConfig, spec: Array, state: State
+) -> Tuple[Array, State, Array]:
+    """Enhance ``spec: [B, T, F, 2]`` (wnorm-scaled STFT frames).
+
+    Returns (spec_e [B,T,F,2], new_state, lsnr [B,T]).  Output frame ``t``
+    is the enhanced input frame ``t-2`` (2-frame lookahead delay).
+    """
+    feat_erb, feat_spec, mu_last, s_last = _features(params, cfg, spec, state)
+    (e0, e1, e2, e3), emb, c0, lsnr, enc_up = _encoder(
+        params, cfg, feat_erb, feat_spec, state
+    )
+    m, new_erb_dec = _erb_decoder(params, cfg, emb, e0, e1, e2, e3,
+                                  state["erb_dec_gru"])
+    coefs, df_up = _df_decoder(params, cfg, emb, c0, state)
+    spec_e, mask_up = _mask_and_df(params, cfg, spec, m, coefs, state)
+
+    new_state = dict(state)
+    new_state["erb_norm"] = mu_last
+    new_state["spec_norm"] = s_last
+    new_state.update(enc_up)
+    new_state["erb_dec_gru"] = new_erb_dec
+    new_state.update(df_up)
+    new_state.update(mask_up)
+    return spec_e, new_state, lsnr
+
+
+def step(
+    params: Params, cfg: ModelConfig, frame: Array, state: State
+) -> Tuple[Array, State, Array]:
+    """Single-frame step: ``frame [B, F, 2]`` -> enhanced ``[B, F, 2]``."""
+    spec_e, new_state, lsnr = forward_spec(params, cfg, frame[:, None], state)
+    return spec_e[:, 0], new_state, lsnr[:, 0]

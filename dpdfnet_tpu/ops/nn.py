@@ -1,0 +1,259 @@
+"""Neural-net primitives: convs, grouped linears, GRUs, norms.
+
+Everything here is a pure function ``(params, x, ...) -> y`` over NHWC-style
+layouts (``[B, T, F, C]`` for 2-D feature maps, ``[B, T, C]`` for sequences).
+Parameters are plain nested dicts of ``jnp.ndarray`` (pytrees), produced by
+``dpdfnet_tpu.models.convert`` from reference checkpoints or by the random
+initialisers in ``dpdfnet_tpu.models.params``.
+
+Reference semantics being matched (with citations):
+
+- ``Conv2dNormAct``: causal time padding ``(k_t-1, 0)``, same-padding over
+  frequency, optional depthwise/grouped conv + 1x1 pointwise, BatchNorm2d
+  (eval mode -> affine scale/shift), activation
+  (`/root/reference/model/modules.py:653-725`).
+- ``SubPixelConv2D``: ``fstride`` parallel convs, channel blocks interleaved
+  into frequency (`/root/reference/model/modules.py:786-807`).
+- ``GroupedLinear(Einsum)``: block-diagonal linear
+  (`/root/reference/model/modules.py:867-943`).
+- torch GRU gate math with (r, z, n) packing
+  (`/root/reference/model/modules.py:980-1094`,
+  `/root/reference/onnx_model/layers.py:1206-1259`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------- #
+# Activations
+# --------------------------------------------------------------------------- #
+
+def apply_act(x: Array, act: Optional[str]) -> Array:
+    if act is None or act == "identity":
+        return x
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if act == "tanh":
+        return jnp.tanh(x)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+# --------------------------------------------------------------------------- #
+# Convolution blocks
+# --------------------------------------------------------------------------- #
+
+def conv_block(
+    p: dict,
+    x: Array,
+    *,
+    kt: int,
+    kf: int,
+    fstride: int = 1,
+    groups: int = 1,
+    act: Optional[str] = "relu",
+    time_tail: Optional[Array] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """Causal Conv2d + optional pointwise + BN(eval) + activation.
+
+    Args:
+        p: ``{'w': [kt,kf,Cin//groups,Cout], 'b': [Cout]?,
+              'pw': {'w': [1,1,C,C]}?, 'bn': {'scale','shift'}?}``
+        x: ``[B, T, F, Cin]``.
+        time_tail: carried context of the last ``kt-1`` input frames
+            ``[B, kt-1, F, Cin]`` (zeros == offline causal zero-pad).
+
+    Returns:
+        (y ``[B, T, F', Cout]``, new_tail) — new_tail is the last ``kt-1``
+        frames of the (tail-extended) input, or None when ``kt == 1``.
+    """
+    new_tail = None
+    if kt > 1:
+        if time_tail is None:
+            time_tail = jnp.zeros(
+                (x.shape[0], kt - 1) + x.shape[2:], dtype=x.dtype
+            )
+        x = jnp.concatenate([time_tail, x], axis=1)
+        new_tail = x[:, -(kt - 1):]
+    fpad = kf // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1, fstride),
+        padding=[(0, 0), (fpad, fpad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"].astype(y.dtype)
+    if p.get("pw") is not None:
+        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
+    if p.get("bn") is not None:
+        y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
+    return apply_act(y, act), new_tail
+
+
+def subpixel_block(
+    p: dict,
+    x: Array,
+    *,
+    kf: int,
+    fstride: int,
+    groups: int = 1,
+    act: Optional[str] = "relu",
+) -> Array:
+    """Sub-pixel frequency upsampling block (kernel time size 1).
+
+    ``p['w']`` is ``[1, kf, Cin//groups, fstride*Cout]`` where output channel
+    ``c*fstride + i`` is sub-conv ``i``'s channel ``c`` (interleaved so that
+    grouped/depthwise sub-convs map onto one conv with
+    ``feature_group_count=groups``); after the conv, sub-conv index ``i``
+    becomes the frequency offset: ``out[..., f*fstride + i, c]``.
+    """
+    fpad = kf // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(0, 0), (fpad, fpad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"].astype(y.dtype)
+    b, t, f, sc = y.shape
+    c = sc // fstride
+    # channel index c*s+i -> [B,T,F,C,s] -> [B,T,F,s,C] -> [B,T,F*s,C]
+    y = y.reshape(b, t, f, c, fstride)
+    y = jnp.swapaxes(y, -1, -2).reshape(b, t, f * fstride, c)
+    if p.get("pw") is not None:
+        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
+    if p.get("bn") is not None:
+        y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
+    return apply_act(y, act)
+
+
+# --------------------------------------------------------------------------- #
+# Linears
+# --------------------------------------------------------------------------- #
+
+def grouped_linear(p: dict, x: Array, act: Optional[str] = None) -> Array:
+    """Block-diagonal linear: ``p['w']: [G, I/G, O/G]``, ``p['b']: [O]``."""
+    g, ig, og = p["w"].shape
+    lead = x.shape[:-1]
+    xg = x.reshape(lead + (g, ig))
+    y = jnp.einsum("...gi,gio->...go", xg, p["w"].astype(x.dtype))
+    y = y.reshape(lead + (g * og,)) + p["b"].astype(x.dtype)
+    return apply_act(y, act)
+
+
+def linear(p: dict, x: Array, act: Optional[str] = None) -> Array:
+    y = x @ p["w"].astype(x.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return apply_act(y, act)
+
+
+def layer_norm(p: dict, x: Array, eps: float = 1e-5) -> Array:
+    """torch.nn.LayerNorm over the last axis with affine params."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# GRU
+# --------------------------------------------------------------------------- #
+#
+# Parameters per direction/layer:
+#   wi [I, 3H]  (torch weight_ih_l0.T), bi [3H]
+#   wh [H, 3H]  (torch weight_hh_l0.T), bh [3H]
+# Gate packing along the 3H axis is torch's (r, z, n).
+
+
+def gru_cell(p: dict, xp: Array, h: Array) -> Array:
+    """One GRU step given the precomputed input projection ``xp = x@wi + bi``.
+
+    xp: [..., 3H], h: [..., H] -> h': [..., H]
+    """
+    hh = h @ p["wh"].astype(h.dtype) + p["bh"].astype(h.dtype)
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(xp[..., :H] + hh[..., :H])
+    z = jax.nn.sigmoid(xp[..., H:2 * H] + hh[..., H:2 * H])
+    n = jnp.tanh(xp[..., 2 * H:] + r * hh[..., 2 * H:])
+    return (1.0 - z) * n + z * h
+
+
+def gru_seq(
+    p: dict, x: Array, h0: Optional[Array] = None, reverse: bool = False
+) -> Tuple[Array, Array]:
+    """Run a GRU over the time axis of ``x: [B, T, I]``.
+
+    The input projection is hoisted out of the scan as one large matmul so
+    the sequential part is only the [B,H]x[H,3H] hidden recurrence (the MXU
+    sees big batched GEMMs, the scan body stays tiny).
+
+    Returns (outputs [B, T, H], final hidden [B, H]).
+    """
+    B, T, _ = x.shape
+    H = p["wh"].shape[0]
+    xp = x @ p["wi"].astype(x.dtype) + p["bi"].astype(x.dtype)      # [B,T,3H]
+    if h0 is None:
+        h0 = jnp.zeros((B, H), dtype=x.dtype)
+
+    def step(h, xp_t):
+        h_new = gru_cell(p, xp_t, h)
+        return h_new, h_new
+
+    xp_t = jnp.swapaxes(xp, 0, 1)                                    # [T,B,3H]
+    h_last, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
+    """Bidirectional GRU (stateless across calls); output concat [fw, bw].
+
+    Used for the DPRNN intra (frequency-axis) RNN where the full axis is
+    available every frame (`/root/reference/onnx_model/layers.py:126-177`).
+    """
+    y_fw, _ = gru_seq(p_fw, x)
+    y_bw, _ = gru_seq(p_bw, x, reverse=True)
+    return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# EMA (exponential moving average) linear recurrence
+# --------------------------------------------------------------------------- #
+
+def ema_scan(x: Array, init: Array, alpha: float) -> Array:
+    """Compute ``m_t = alpha*m_{t-1} + (1-alpha)*x_t`` for all t, m_{-1}=init.
+
+    Uses an associative scan (log-depth on TPU) instead of the reference's
+    Python per-frame loop (`/root/reference/model/modules.py:479-484`).
+
+    Args:
+        x: [B, T, F]; init: [F] or [B, F].
+    Returns:
+        m: [B, T, F] (the post-update value at every frame).
+    """
+    a = jnp.full_like(x, alpha)
+    b = (1.0 - alpha) * x
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    A, Bc = jax.lax.associative_scan(combine, (a, b), axis=1)
+    init = jnp.broadcast_to(init.astype(x.dtype), (x.shape[0], x.shape[-1]))
+    return A * init[:, None, :] + Bc

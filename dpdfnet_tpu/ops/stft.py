@@ -1,0 +1,119 @@
+"""Device-side STFT / ISTFT.
+
+Two framing conventions, matching the reference's two pipelines:
+
+- *center* (offline): reflect-pad ``win//2`` both sides, overlapping frames,
+  matches ``librosa.stft(center=True, pad_mode='reflect')`` /
+  ``torch.stft(center=True)`` used by the offline path
+  (`/root/reference/package/src/dpdfnet/audio.py:104-117`,
+  `/root/reference/model/modules.py:342-370`).
+- *causal* (streaming): no padding; frame t covers samples
+  ``[t*hop, t*hop+win)`` — what ``StreamEnhancer`` does with its hand-rolled
+  rFFT (`/root/reference/package/src/dpdfnet/stream.py:117-126`).
+
+The DFT itself is ``jnp.fft.rfft``; at n_fft in {320, 960} XLA lowers this
+well on TPU, and the framing/window/scale all fuse into the surrounding
+program under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def num_frames_center(n_samples: int, hop: int) -> int:
+    return n_samples // hop + 1
+
+
+def frame_signal(x: Array, win: int, hop: int, *, center: bool) -> Array:
+    """Slice ``x: [B, S]`` into overlapping frames ``[B, T, win]``."""
+    if center:
+        x = jnp.pad(x, ((0, 0), (win // 2, win // 2)), mode="reflect")
+    n = x.shape[-1]
+    T = (n - win) // hop + 1
+    idx = np.arange(T)[:, None] * hop + np.arange(win)[None, :]
+    return x[:, idx]
+
+
+def stft(
+    x: Array, window: Array, hop: int, *, center: bool = True
+) -> Array:
+    """STFT returning real/imag-stacked frames ``[B, T, F, 2]`` (float32)."""
+    frames = frame_signal(x, window.shape[0], hop, center=center)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.stack([spec.real, spec.imag], axis=-1).astype(x.dtype)
+
+
+def istft(
+    spec: Array, window: Array, hop: int, *, center: bool = True
+) -> Array:
+    """Inverse STFT with windowed overlap-add and window-sum-square norm.
+
+    ``spec: [B, T, F, 2]`` -> ``[B, S]`` with ``S = hop*(T-1)`` for
+    center=True (librosa/torch convention: trim win//2 each side), or
+    ``S = win + hop*(T-1)`` for causal frames.
+    """
+    win = window.shape[0]
+    B, T = spec.shape[0], spec.shape[1]
+    comp = jax.lax.complex(spec[..., 0], spec[..., 1])
+    frames = jnp.fft.irfft(comp, n=win, axis=-1) * window      # [B, T, win]
+
+    total = win + hop * (T - 1)
+    out = _overlap_add(frames, hop, total)
+
+    wss = _window_sumsquare(np.asarray(window), T, hop)         # [total]
+    wss = jnp.asarray(np.where(wss > 1e-11, wss, 1.0), dtype=out.dtype)
+    out = out / wss
+
+    if center:
+        return out[:, win // 2: total - win // 2]
+    return out
+
+
+def _overlap_add(frames: Array, hop: int, total: int) -> Array:
+    """OLA of ``frames: [B, T, win]`` into ``[B, total]``.
+
+    Implemented as a reshape-based fold for the fixed 50% overlap case
+    (win == 2*hop) — two strided halves summed, no scatter; falls back to a
+    scatter-add otherwise.
+    """
+    B, T, win = frames.shape
+    if win == 2 * hop:
+        # y[t*hop : t*hop+2*hop] += frame_t ; split frames into two hop-sized
+        # halves: first halves tile [0..T*hop), second halves tile [hop..).
+        first = frames[:, :, :hop].reshape(B, T * hop)
+        second = frames[:, :, hop:].reshape(B, T * hop)
+        out = jnp.zeros((B, total), frames.dtype)
+        out = out.at[:, : T * hop].add(first)
+        out = out.at[:, hop: hop + T * hop].add(second)
+        return out
+    idx = np.arange(T)[:, None] * hop + np.arange(win)[None, :]
+    out = jnp.zeros((B, total), frames.dtype)
+    return out.at[:, idx.reshape(-1)].add(frames.reshape(B, -1))
+
+
+@functools.lru_cache(maxsize=32)
+def _window_sumsquare_cached(win_key: bytes, win_len: int, T: int, hop: int):
+    window = np.frombuffer(win_key, dtype=np.float32)
+    return _window_sumsquare_impl(window, T, hop)
+
+
+def _window_sumsquare_impl(window: np.ndarray, T: int, hop: int) -> np.ndarray:
+    total = window.shape[0] + hop * (T - 1)
+    wss = np.zeros(total, dtype=np.float64)
+    w2 = window.astype(np.float64) ** 2
+    for t in range(T):
+        wss[t * hop: t * hop + window.shape[0]] += w2
+    return wss.astype(np.float32)
+
+
+def _window_sumsquare(window: np.ndarray, T: int, hop: int) -> np.ndarray:
+    return _window_sumsquare_cached(
+        np.asarray(window, np.float32).tobytes(), window.shape[0], T, hop
+    )
