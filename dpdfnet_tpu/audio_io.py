@@ -1,0 +1,133 @@
+"""Self-contained audio file I/O.
+
+The reference delegates to libsndfile (soundfile) and pydub/ffmpeg
+(`/root/reference/package/src/dpdfnet/api.py:206-241`).  This framework
+ships a dependency-free RIFF/WAVE reader+writer (PCM 16/24/32, IEEE float
+32/64, any channel count) and uses soundfile for other container formats
+when it happens to be installed.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Tuple, Union
+
+import numpy as np
+
+_SF_EXTENSIONS = frozenset({".flac", ".ogg", ".aiff", ".aif", ".au", ".snd"})
+_WAV_EXTENSIONS = frozenset({".wav", ".wave"})
+SUPPORTED_EXTENSIONS = _WAV_EXTENSIONS | _SF_EXTENSIONS
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
+    """Read a RIFF/WAVE file -> (float32 samples [S] or [S, C], sample_rate)."""
+    data = Path(path).read_bytes()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"Not a RIFF/WAVE file: {path}")
+
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                sub = struct.unpack_from("<H", body, 24)[0]
+                fmt = (sub,) + fmt[1:]
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+
+    if fmt is None or payload is None:
+        raise ValueError(f"Missing fmt/data chunk in WAVE file: {path}")
+    wformat, channels, sr, _, _, bits = fmt
+
+    if wformat == _WAVE_FORMAT_PCM:
+        if bits == 16:
+            x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            ints = (raw[:, 0].astype(np.int32)
+                    | (raw[:, 1].astype(np.int32) << 8)
+                    | (raw[:, 2].astype(np.int32) << 16))
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            x = ints.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(payload, "<i4").astype(np.float32) / float(1 << 31)
+        elif bits == 8:
+            x = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"Unsupported PCM bit depth: {bits}")
+    elif wformat == _WAVE_FORMAT_IEEE_FLOAT:
+        x = np.frombuffer(payload, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported WAVE format tag: {wformat:#x}")
+
+    if channels > 1:
+        x = x.reshape(-1, channels)
+    return x, int(sr)
+
+
+def write_wav(
+    path: Union[str, Path],
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    subtype: str = "PCM_16",
+) -> None:
+    """Write float32 audio ([S] or [S, C]) as PCM_16 or FLOAT wav."""
+    x = np.asarray(audio)
+    channels = 1 if x.ndim == 1 else x.shape[1]
+    if subtype == "PCM_16":
+        if x.dtype != np.int16:
+            x = np.clip(x.astype(np.float32), -1.0, 1.0)
+            x = (x * 32767.0).astype("<i2")
+        payload = x.astype("<i2").tobytes()
+        wformat, bits = _WAVE_FORMAT_PCM, 16
+    elif subtype == "FLOAT":
+        payload = x.astype("<f4").tobytes()
+        wformat, bits = _WAVE_FORMAT_IEEE_FLOAT, 32
+    else:
+        raise ValueError(f"Unsupported subtype: {subtype}")
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", wformat, channels, int(sample_rate),
+                      byte_rate, block_align, bits)
+    out = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(payload)), payload,
+    ])
+    Path(path).write_bytes(out)
+
+
+def read_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
+    """Read any supported audio file -> (float32 samples, sample_rate)."""
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix in _WAV_EXTENSIONS:
+        return read_wav(p)
+    if suffix in _SF_EXTENSIONS:
+        try:
+            import soundfile as sf
+        except ImportError:
+            raise ImportError(
+                f"Reading {suffix!r} requires the optional 'soundfile' package; "
+                f"convert to .wav or install soundfile."
+            ) from None
+        audio, sr = sf.read(str(p), always_2d=False)
+        return np.asarray(audio, dtype=np.float32), int(sr)
+    supported = ", ".join(sorted(SUPPORTED_EXTENSIONS))
+    raise ValueError(
+        f"Unsupported audio format {suffix!r} for file: {p}\n"
+        f"Supported extensions: {supported}"
+    )

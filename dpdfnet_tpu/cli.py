@@ -1,0 +1,269 @@
+"""Command-line interface: models / enhance / enhance-dir / download / bench.
+
+Mirrors `/root/reference/package/src/dpdfnet/cli.py` (subcommands, flags,
+exit codes, model table).  ``enhance-dir`` differs structurally: instead of
+a thread pool of per-file ONNX sessions, utterances are grouped into padded
+batches and run through one compiled program — the TPU-native throughput
+path.  ``--workers`` controls parallel file IO (decode/encode), not compute
+sessions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import List, Optional
+
+from .banner import print_banner
+from .zoo import DEFAULT_MODEL, get_cache_model_dir, get_model_info, supported_models
+
+__version__ = "0.1.0"
+
+
+def _add_model_resolution_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--model", default=DEFAULT_MODEL, choices=supported_models(),
+        help="Model name to run.")
+    parser.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="Enable verbose model-resolution/download logs.")
+
+
+def _add_attn_limit_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--attn-limit-db", "--attn_limit_db", dest="attn_limit_db",
+        type=float, default=None,
+        help="Offline-only attenuation limit in dB. Higher values allow "
+             "stronger denoising.")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="dpdfnet-tpu",
+        description="DPDFNet TPU-native speech enhancement toolkit.")
+    parser.add_argument("--version", action="version",
+                        version=f"dpdfnet-tpu {__version__}")
+    sub = parser.add_subparsers(dest="command")
+
+    sub.add_parser("models", help="List supported models and local availability.")
+
+    p_enh = sub.add_parser("enhance", help="Enhance a single audio file.")
+    p_enh.add_argument("input", type=Path, help="Input audio file (.wav, ...).")
+    p_enh.add_argument("output", type=Path, help="Output wav file path.")
+    _add_attn_limit_arg(p_enh)
+    _add_model_resolution_args(p_enh)
+
+    p_dir = sub.add_parser(
+        "enhance-dir",
+        help="Enhance all supported audio files from one directory "
+             "(non-recursive), batched on device.")
+    p_dir.add_argument("input_dir", type=Path)
+    p_dir.add_argument("output_dir", type=Path)
+    p_dir.add_argument(
+        "--workers", type=int, default=None, metavar="N",
+        help="Parallel file-IO workers (default: CPU count).")
+    p_dir.add_argument(
+        "--batch-size", type=int, default=8, metavar="B",
+        help="Utterances per compiled device batch (default: 8).")
+    _add_attn_limit_arg(p_dir)
+    _add_model_resolution_args(p_dir)
+
+    p_dl = sub.add_parser(
+        "download",
+        help="Download all models by default, or a single model if provided.")
+    p_dl.add_argument("model", nargs="?", choices=supported_models(), default=None)
+    p_dl.add_argument("--model", dest="model_flag", choices=supported_models(),
+                      default=None, help=argparse.SUPPRESS)
+    p_dl.add_argument("--force", "--refresh", action="store_true",
+                      help="Force re-download even if files are already cached.")
+    g = p_dl.add_mutually_exclusive_group()
+    g.add_argument("-q", "--quiet", action="store_true")
+    g.add_argument("-v", "--verbose", action="store_true")
+
+    p_bench = sub.add_parser("bench", help="Measure offline throughput (xRT).")
+    p_bench.add_argument("--model", default="dpdfnet8_48khz_hr",
+                         choices=supported_models())
+    p_bench.add_argument("--batch", type=int, default=32)
+    p_bench.add_argument("--seconds", type=float, default=10.0)
+    p_bench.add_argument("--reps", type=int, default=5)
+    p_bench.add_argument("--random-weights", action="store_true",
+                         help="Use random weights (no download needed).")
+
+    return parser
+
+
+def _print_model_table() -> int:
+    from .api import available_models
+
+    rows = available_models()
+    headers = ["Model", "Sample Rate", "Ready", "Cached", "Description"]
+    col_keys = ["name", "sample_rate", "ready", "cached", "description"]
+
+    def fmt(row: dict, key: str) -> str:
+        v = row[key]
+        if key == "sample_rate":
+            return f"{v // 1000} kHz"
+        if isinstance(v, bool):
+            return "yes" if v else "no"
+        return str(v)
+
+    table = [[fmt(r, k) for k in col_keys] for r in rows]
+    widths = [max(len(h), *(len(r[i]) for r in table)) for i, h in enumerate(headers)]
+    sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
+    print(f"\n  Cache dir: {get_cache_model_dir().resolve()}\n")
+    print(sep)
+    print("| " + " | ".join(h.ljust(widths[i]) for i, h in enumerate(headers)) + " |")
+    print(sep)
+    for r in table:
+        print("| " + " | ".join(r[i].ljust(widths[i]) for i in range(len(headers))) + " |")
+    print(sep)
+    print()
+    return 0
+
+
+def _run_enhance(args: argparse.Namespace) -> int:
+    from .api import enhance_file
+
+    info = get_model_info(args.model)
+    print_banner(model_name=info.name, sample_rate=info.sample_rate,
+                 description=info.description, version=__version__)
+    t0 = time.perf_counter()
+    out = enhance_file(
+        input_path=args.input, output_path=args.output, model=args.model,
+        attn_limit_db=args.attn_limit_db, verbose=args.verbose)
+    dt = time.perf_counter() - t0
+    print(f"Wrote enhanced audio: {out}  ({dt:.2f}s)")
+    return 0
+
+
+def _run_enhance_dir(args: argparse.Namespace) -> int:
+    from .api import SUPPORTED_EXTENSIONS, enhance_batch, _read_audio
+    from .audio import pcm16_safe
+    from .audio_io import write_wav
+
+    info = get_model_info(args.model)
+    print_banner(model_name=info.name, sample_rate=info.sample_rate,
+                 description=info.description, version=__version__)
+
+    input_dir = Path(args.input_dir).expanduser().resolve()
+    output_dir = Path(args.output_dir).expanduser().resolve()
+    if not input_dir.is_dir():
+        raise FileNotFoundError(f"Input directory not found: {input_dir}")
+    audio_files = sorted(
+        p for p in input_dir.iterdir()
+        if p.is_file() and p.suffix.lower() in SUPPORTED_EXTENSIONS)
+    if not audio_files:
+        supported = ", ".join(sorted(SUPPORTED_EXTENSIONS))
+        raise FileNotFoundError(
+            f"No supported audio files found in {input_dir}\n"
+            f"Supported extensions: {supported}")
+
+    output_dir.mkdir(parents=True, exist_ok=True)
+    B = max(1, args.batch_size)
+    n_workers = args.workers or 4
+    errors: List[tuple] = []
+    t0 = time.perf_counter()
+    total_audio_s = 0.0
+
+    with ThreadPoolExecutor(max_workers=n_workers) as io_pool:
+        for i in range(0, len(audio_files), B):
+            chunk = audio_files[i: i + B]
+            loaded = list(io_pool.map(_safe_read, chunk))
+            good = [(p, a, sr) for p, a, sr in loaded if a is not None]
+            errors.extend((p, RuntimeError("unreadable")) for p, a, _ in loaded
+                          if a is None)
+            if not good:
+                continue
+            outs = enhance_batch(
+                [a for _, a, _ in good], [sr for _, _, sr in good],
+                model=args.model, attn_limit_db=args.attn_limit_db,
+                verbose=args.verbose)
+            total_audio_s += sum(a.shape[0] / sr for _, a, sr in good)
+            writes = []
+            for (p, _a, sr), out in zip(good, outs):
+                dest = output_dir / f"{p.stem}_enhanced.wav"
+                writes.append(io_pool.submit(
+                    write_wav, dest, pcm16_safe(out), int(sr), subtype="PCM_16"))
+            for w in writes:
+                w.result()
+            done = min(i + B, len(audio_files))
+            print(f"  [{done}/{len(audio_files)}] processed", file=sys.stderr)
+
+    dt = time.perf_counter() - t0
+    if total_audio_s > 0:
+        print(f"Processed {total_audio_s:.1f}s of audio in {dt:.2f}s "
+              f"(xRT {total_audio_s / dt:.1f})")
+    if errors:
+        msgs = "\n".join(f"  {p}: {e}" for p, e in errors)
+        raise RuntimeError(f"Errors during processing:\n{msgs}")
+    return 0
+
+
+def _safe_read(path: Path):
+    from .api import _read_audio
+
+    try:
+        audio, sr = _read_audio(path)
+        return path, audio, sr
+    except Exception:
+        return path, None, 0
+
+
+def _run_download(args: argparse.Namespace) -> int:
+    from .api import download
+
+    if (args.model is not None and args.model_flag is not None
+            and args.model != args.model_flag):
+        raise ValueError(
+            "Conflicting model names provided in positional argument and --model.")
+    model = args.model if args.model is not None else args.model_flag
+    destination = download(model=model, force=args.force, quiet=args.quiet,
+                           verbose=args.verbose)
+    if isinstance(destination, dict):
+        print("Downloaded models:")
+        for model_name, model_path in destination.items():
+            print(f"- {model_name}: {model_path}")
+    else:
+        print(f"Downloaded '{model if model else '<unknown>'}' to: {destination}")
+    return 0
+
+
+def _run_bench(args: argparse.Namespace) -> int:
+    from .runtime.bench import run_bench
+
+    result = run_bench(model=args.model, batch=args.batch,
+                       seconds=args.seconds, reps=args.reps,
+                       random_weights=args.random_weights)
+    print(result)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 0
+    try:
+        if args.command == "models":
+            return _print_model_table()
+        if args.command == "enhance":
+            return _run_enhance(args)
+        if args.command == "enhance-dir":
+            return _run_enhance_dir(args)
+        if args.command == "download":
+            return _run_download(args)
+        if args.command == "bench":
+            return _run_bench(args)
+    except Exception as exc:
+        print(f"Error: {exc}", file=sys.stderr)
+        return 2
+    parser.print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

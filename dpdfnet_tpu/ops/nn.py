@@ -238,13 +238,35 @@ def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
 def ema_scan(x: Array, init: Array, alpha: float) -> Array:
     """Compute ``m_t = alpha*m_{t-1} + (1-alpha)*x_t`` for all t, m_{-1}=init.
 
-    Uses an associative scan (log-depth on TPU) instead of the reference's
-    Python per-frame loop (`/root/reference/model/modules.py:479-484`).
+    Replaces the reference's Python per-frame loop
+    (`/root/reference/model/modules.py:479-484`) with a single fused
+    ``lax.scan``.  A sequential scan (not an associative one) is deliberate:
+    it performs the identical float operation sequence per frame regardless
+    of the chunk span, which is what makes streaming block-size invariance
+    *bit*-exact (the reference ships and tests that contract).  The scan body
+    is elementwise over [B, F] and is dwarfed by the GRU time scans.
 
     Args:
         x: [B, T, F]; init: [F] or [B, F].
     Returns:
         m: [B, T, F] (the post-update value at every frame).
+    """
+    init = jnp.broadcast_to(init.astype(x.dtype), (x.shape[0], x.shape[-1]))
+
+    def step(m, x_t):
+        m = alpha * m + (1.0 - alpha) * x_t
+        return m, m
+
+    _, ms = jax.lax.scan(step, init, jnp.swapaxes(x, 0, 1))
+    return jnp.swapaxes(ms, 0, 1)
+
+
+def ema_scan_assoc(x: Array, init: Array, alpha: float) -> Array:
+    """Associative (log-depth) variant of :func:`ema_scan`.
+
+    ~1e-7-level differences vs the sequential form are possible because the
+    combination tree depends on T; offered for latency-critical offline paths
+    where bit-stable chunking is not required.
     """
     a = jnp.full_like(x, alpha)
     b = (1.0 - alpha) * x

@@ -1,0 +1,128 @@
+"""Chunked real-time streaming enhancer.
+
+Behavioural contract matches `/root/reference/package/src/dpdfnet/stream.py`:
+arbitrary chunk sizes, causal STFT (center=False) with one-window latency,
+Vorbis-COLA overlap-add committing one hop per frame, ``process``/``flush``/
+``reset``, internal resampling, and a hard error on mid-stream sample-rate
+changes.  Block-size invariance holds bit-exactly because the model state is
+carried explicitly and every frame's math is identical regardless of how
+frames were grouped into device calls.
+
+Unlike the reference (one ONNX session call per 10 ms frame), all frames
+available in a chunk are processed in one compiled call (power-of-two frame
+buckets), and the overlap-add is vectorised.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from .audio import ensure_sample_rate, to_mono
+from .zoo import DEFAULT_MODEL
+
+
+class StreamEnhancer:
+    """Process audio chunk-by-chunk while preserving model state across calls.
+
+    Args:
+        model: Model name (default: ``"dpdfnet2"``).
+        checkpoint_path: Optional path to a custom ``.pth``; overrides *model*.
+        verbose: Print model resolution / download progress.
+    """
+
+    def __init__(
+        self,
+        model: str = DEFAULT_MODEL,
+        checkpoint_path: Optional[Union[str, Path]] = None,
+        verbose: bool = False,
+        engine=None,
+    ) -> None:
+        if engine is None:
+            from .api import _get_engine
+
+            engine = _get_engine(model, checkpoint_path, verbose)
+        self._engine = engine
+        cfg = engine.cfg
+        self._model_sr: int = cfg.sample_rate
+        self._win_len: int = cfg.win_len
+        self._hop_size: int = cfg.hop
+        self._input_sr: Optional[int] = None
+        self.reset()
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self) -> None:
+        """Reset model state and internal buffers (between independent streams)."""
+        self._state = self._engine.init_stream_state(batch=1)
+        self._in_buf = np.zeros(0, dtype=np.float32)
+        self._ola_tail = np.zeros(self._win_len - self._hop_size, dtype=np.float32)
+        self._input_sr = None
+
+    def process(
+        self,
+        chunk: np.ndarray,
+        sample_rate: Optional[int] = None,
+    ) -> np.ndarray:
+        """Enhance a chunk; returns enhanced samples (possibly length 0).
+
+        The first output appears once one full window (~20 ms) has been
+        buffered; thereafter each completed hop yields ~10 ms of output.
+        """
+        chunk = to_mono(np.asarray(chunk, dtype=np.float32))
+        if chunk.size == 0:
+            return np.zeros(0, dtype=np.float32)
+
+        sr_in = sample_rate if sample_rate is not None else self._model_sr
+        if self._input_sr is None:
+            self._input_sr = sr_in
+        elif self._input_sr != sr_in:
+            raise ValueError(
+                f"Sample rate changed from {self._input_sr} to {sr_in} between "
+                "process() calls.  Call reset() before processing a new stream."
+            )
+
+        chunk_model = ensure_sample_rate(chunk, sr_in, self._model_sr)
+        self._in_buf = np.concatenate([self._in_buf, chunk_model])
+
+        win, hop = self._win_len, self._hop_size
+        n = self._in_buf.shape[0]
+        if n < win:
+            return np.zeros(0, dtype=np.float32)
+        T = (n - win) // hop + 1
+
+        # frame the buffered samples: [1, T, win]
+        idx = np.arange(T)[:, None] * hop + np.arange(win)[None, :]
+        frames = self._in_buf[idx][None, ...]
+
+        y, self._state = self._engine.process_frames(frames, self._state)
+        y = y[0]                                       # [T, win]
+
+        # Vectorised overlap-add at 50% overlap (win == 2*hop): each committed
+        # hop is this frame's first half plus the previous frame's second half.
+        tails = np.concatenate([self._ola_tail[None], y[:-1, hop:]], axis=0)
+        committed = (y[:, :hop] + tails).reshape(-1)
+        self._ola_tail = y[-1, hop:].copy()
+        self._in_buf = self._in_buf[T * hop:]
+
+        if sr_in != self._model_sr:
+            return ensure_sample_rate(committed, self._model_sr, sr_in)
+        return committed.astype(np.float32)
+
+    def flush(self) -> np.ndarray:
+        """Drain the final partial window by zero-padding to a full frame.
+
+        Returns at most one hop of enhanced audio; does not reset state.
+        """
+        if self._in_buf.size == 0:
+            return np.zeros(0, dtype=np.float32)
+        sr_in = self._input_sr or self._model_sr
+        pad = np.zeros(self._win_len - len(self._in_buf), dtype=np.float32)
+        out = self.process(pad, sample_rate=self._model_sr)
+        real_out = min(self._hop_size, len(out))
+        trimmed = out[:real_out] if len(out) > 0 else out
+        if sr_in != self._model_sr:
+            trimmed = ensure_sample_rate(trimmed, self._model_sr, sr_in)
+        return trimmed.astype(np.float32)

@@ -1,0 +1,66 @@
+"""Parameter pytree <-> .npz serialisation.
+
+Nested dicts/lists of arrays are stored flat with '/'-joined key paths
+(list indices as decimal segments).  ``None`` leaves (absent optional
+biases) are skipped on save and simply absent on load — layer code treats
+missing optional keys as None.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Union
+
+import numpy as np
+
+
+def _flatten(tree, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    if tree is None:
+        return
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}{k}/", out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(v, f"{prefix}{i:04d}#/", out)
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+
+
+def save_params(path, params) -> None:
+    flat: Dict[str, np.ndarray] = {}
+    _flatten(params, "", flat)
+    np.savez(path, **flat)
+
+
+def load_params(path) -> Dict:
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    root: Dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node: Union[Dict, list] = root
+        for i, part in enumerate(parts):
+            is_leaf = i == len(parts) - 1
+            is_index = part.endswith("#")
+            k = int(part[:-1]) if is_index else part
+            if is_leaf:
+                if is_index:
+                    while len(node) <= k:
+                        node.append(None)
+                    node[k] = jnp.asarray(data[key])
+                else:
+                    node[k] = jnp.asarray(data[key])
+            else:
+                nxt_is_index = parts[i + 1].endswith("#")
+                if is_index:
+                    while len(node) <= k:
+                        node.append(None)
+                    if node[k] is None:
+                        node[k] = [] if nxt_is_index else {}
+                    node = node[k]
+                else:
+                    if k not in node:
+                        node[k] = [] if nxt_is_index else {}
+                    node = node[k]
+    return root

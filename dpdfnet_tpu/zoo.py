@@ -1,0 +1,447 @@
+"""Model zoo: registry, cache resolution, robust downloads, conversion cache.
+
+Mirrors the behaviour of `/root/reference/package/src/dpdfnet/models.py`
+(frozen registry, XDG cache dirs, env overrides, atomic tmp-file+rename
+downloads, retry-with-backoff on retryable HTTP/OS errors, inter-process
+file locks, writability probes) with one structural difference: the shipped
+artifact here is the PyTorch ``.pth`` checkpoint from the Hugging Face repo,
+converted once into this framework's parameter pytree and cached as
+``<model>.npz`` next to it.  Subsequent loads skip torch entirely.
+
+Env overrides (same roles as the reference's):
+  DPDFNET_TPU_CACHE_DIR, DPDFNET_TPU_MODEL_DIR, DPDFNET_TPU_HF_REPO,
+  DPDFNET_TPU_HF_BASE_URL, DPDFNET_TPU_HF_SUBDIR, DPDFNET_TPU_DOWNLOAD_RETRIES
+"""
+
+from __future__ import annotations
+
+import errno
+import os
+import sys
+import tempfile
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Union
+from urllib.error import HTTPError, URLError
+from urllib.request import urlopen
+
+from filelock import FileLock
+
+from .config import MODEL_CONFIGS, ModelConfig, get_config
+
+
+@dataclass(frozen=True)
+class ModelInfo:
+    name: str
+    sample_rate: int
+    frame_ms: float
+    description: str
+    checkpoint_filename: str
+
+
+MODEL_REGISTRY: Dict[str, ModelInfo] = {
+    "baseline": ModelInfo(
+        "baseline", 16000, 20.0,
+        "Fastest and lowest-compute baseline model.", "baseline.pth"),
+    "dpdfnet2": ModelInfo(
+        "dpdfnet2", 16000, 20.0,
+        "Balanced quality/speed DPDFNet-2 model.", "dpdfnet2.pth"),
+    "dpdfnet4": ModelInfo(
+        "dpdfnet4", 16000, 20.0,
+        "Higher quality DPDFNet-4 model.", "dpdfnet4.pth"),
+    "dpdfnet8": ModelInfo(
+        "dpdfnet8", 16000, 20.0,
+        "Highest quality 16 kHz DPDFNet-8 model.", "dpdfnet8.pth"),
+    "dpdfnet2_48khz_hr": ModelInfo(
+        "dpdfnet2_48khz_hr", 48000, 20.0,
+        "High-resolution 48 kHz DPDFNet-2 model.", "dpdfnet2_48khz_hr.pth"),
+    "dpdfnet8_48khz_hr": ModelInfo(
+        "dpdfnet8_48khz_hr", 48000, 20.0,
+        "High-resolution 48 kHz DPDFNet-8 model.", "dpdfnet8_48khz_hr.pth"),
+}
+
+DEFAULT_MODEL = "dpdfnet2"
+DEFAULT_REVISION = "main"
+DEFAULT_HF_REPO = "Ceva-IP/DPDFNet"
+DEFAULT_HF_BASE = "https://huggingface.co"
+DEFAULT_HF_SUBDIR = "checkpoints"
+DEFAULT_DOWNLOAD_RETRIES = 3
+
+
+@dataclass(frozen=True)
+class ResolvedModel:
+    info: ModelInfo
+    cfg: ModelConfig
+    params_path: Path          # .npz converted-params cache
+    checkpoint_path: Optional[Path]
+
+
+def get_model_info(model: str) -> ModelInfo:
+    try:
+        return MODEL_REGISTRY[model]
+    except KeyError as exc:
+        supported = ", ".join(supported_models())
+        raise ValueError(f"Unsupported model '{model}'. Supported: {supported}") from exc
+
+
+def supported_models() -> List[str]:
+    return sorted(MODEL_REGISTRY)
+
+
+# --------------------------------------------------------------------------- #
+# Cache directories
+# --------------------------------------------------------------------------- #
+
+def _default_cache_root() -> Path:
+    if os.name == "nt":
+        local = os.environ.get("LOCALAPPDATA")
+        if local:
+            return Path(local) / "dpdfnet_tpu"
+        return Path.home() / "AppData" / "Local" / "dpdfnet_tpu"
+    if sys.platform == "darwin":
+        return Path.home() / "Library" / "Caches" / "dpdfnet_tpu"
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    if xdg:
+        return Path(xdg) / "dpdfnet_tpu"
+    return Path.home() / ".cache" / "dpdfnet_tpu"
+
+
+def get_cache_dir() -> Path:
+    override = os.environ.get("DPDFNET_TPU_CACHE_DIR")
+    if override:
+        return Path(override).expanduser().resolve()
+    return _default_cache_root().resolve()
+
+
+def get_cache_model_dir() -> Path:
+    return get_cache_dir() / "models"
+
+
+def _download_target_dir() -> Path:
+    env_dir = os.environ.get("DPDFNET_TPU_MODEL_DIR")
+    if env_dir:
+        return Path(env_dir).expanduser().resolve()
+    return get_cache_model_dir().resolve()
+
+
+def _candidate_model_dirs() -> List[Path]:
+    env_dir = os.environ.get("DPDFNET_TPU_MODEL_DIR")
+    if env_dir:
+        return [Path(env_dir).expanduser().resolve()]
+    return [get_cache_model_dir().resolve()]
+
+
+def _is_valid_file(path: Path) -> bool:
+    try:
+        return path.is_file() and path.stat().st_size > 0
+    except OSError:
+        return False
+
+
+def _emit(message: str, notifier: Optional[Callable[[str], None]]) -> None:
+    if notifier is not None:
+        notifier(message)
+        return
+    print(message, file=sys.stderr)
+
+
+# --------------------------------------------------------------------------- #
+# Download machinery
+# --------------------------------------------------------------------------- #
+
+def _hf_url(filename: str, revision: str) -> str:
+    repo = os.environ.get("DPDFNET_TPU_HF_REPO", DEFAULT_HF_REPO).strip("/")
+    base = os.environ.get("DPDFNET_TPU_HF_BASE_URL", DEFAULT_HF_BASE).rstrip("/")
+    subdir = os.environ.get("DPDFNET_TPU_HF_SUBDIR", DEFAULT_HF_SUBDIR).strip("/")
+    remote_path = f"{subdir}/{filename}" if subdir else filename
+    return f"{base}/{repo}/resolve/{revision}/{remote_path}?download=true"
+
+
+def _download_one(url: str, destination: Path) -> None:
+    destination.parent.mkdir(parents=True, exist_ok=True)
+    temp_fd, temp_name = tempfile.mkstemp(
+        prefix=f".{destination.name}.part.", suffix=".tmp",
+        dir=str(destination.parent),
+    )
+    try:
+        with os.fdopen(temp_fd, "wb") as out:
+            with urlopen(url, timeout=60) as response:
+                while True:
+                    chunk = response.read(1024 * 1024)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            out.flush()
+            os.fsync(out.fileno())
+        os.replace(temp_name, destination)
+    except Exception:
+        try:
+            os.unlink(temp_name)
+        except OSError:
+            pass
+        raise
+
+
+def _assert_writable_dir(path: Path) -> None:
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError as exc:
+        raise RuntimeError(
+            f"Unable to create model directory: {path}. Set DPDFNET_TPU_CACHE_DIR "
+            f"or DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
+        ) from exc
+    probe_fd = probe_name = None
+    try:
+        probe_fd, probe_name = tempfile.mkstemp(
+            prefix=".dpdfnet_tpu.write-test.", dir=str(path))
+    except OSError as exc:
+        raise RuntimeError(
+            f"Model directory is not writable: {path}. Set DPDFNET_TPU_CACHE_DIR "
+            f"or DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
+        ) from exc
+    finally:
+        if probe_fd is not None:
+            os.close(probe_fd)
+        if probe_name is not None:
+            try:
+                os.unlink(probe_name)
+            except OSError:
+                pass
+
+
+def _download_retries() -> int:
+    raw = os.environ.get(
+        "DPDFNET_TPU_DOWNLOAD_RETRIES", str(DEFAULT_DOWNLOAD_RETRIES))
+    try:
+        retries = int(raw)
+    except ValueError:
+        retries = DEFAULT_DOWNLOAD_RETRIES
+    return max(1, retries)
+
+
+def _is_retryable_http_error(exc: HTTPError) -> bool:
+    return exc.code in {408, 425, 429, 500, 502, 503, 504}
+
+
+def _is_retryable_os_error(exc: OSError) -> bool:
+    return exc.errno in {
+        errno.ECONNABORTED, errno.ECONNRESET, errno.ETIMEDOUT,
+        errno.ENETRESET, errno.ENETUNREACH, errno.EHOSTUNREACH,
+    }
+
+
+def _download_with_retries(
+    *, url: str, destination: Path, verbose: bool,
+    notifier: Optional[Callable[[str], None]],
+) -> None:
+    attempts = _download_retries()
+    for attempt in range(1, attempts + 1):
+        try:
+            _download_one(url, destination)
+            return
+        except HTTPError as exc:
+            if not _is_retryable_http_error(exc) or attempt >= attempts:
+                raise
+        except URLError:
+            if attempt >= attempts:
+                raise
+        except OSError as exc:
+            if exc.errno in {errno.EACCES, errno.EPERM, errno.EROFS}:
+                raise
+            if not _is_retryable_os_error(exc) or attempt >= attempts:
+                raise
+        wait_s = min(8.0, 0.5 * (2 ** (attempt - 1)))
+        if verbose:
+            _emit(
+                f"  transient error downloading {destination.name}; retrying "
+                f"in {wait_s:.1f}s ({attempt}/{attempts})", notifier,
+            )
+        time.sleep(wait_s)
+
+
+def _ensure_downloaded(
+    *, info: ModelInfo, destination_dir: Path, revision: str, force: bool,
+    verbose: bool, notifier: Optional[Callable[[str], None]],
+) -> None:
+    destination_dir = destination_dir.expanduser().resolve()
+    _assert_writable_dir(destination_dir)
+    ckpt_path = destination_dir / info.checkpoint_filename
+
+    lock = FileLock(str(destination_dir / f".{info.name}.download.lock"))
+    with lock:
+        if not force and _is_valid_file(ckpt_path):
+            return
+        action = "Refreshing" if force else "Downloading"
+        _emit(f"{action} model '{info.name}' to {destination_dir}", notifier)
+        url = _hf_url(info.checkpoint_filename, revision)
+        if verbose:
+            _emit(f"  {info.checkpoint_filename} <- {url}", notifier)
+        try:
+            _download_with_retries(
+                url=url, destination=ckpt_path, verbose=verbose, notifier=notifier)
+        except HTTPError as exc:
+            detail = f"HTTP {exc.code}" + (f" ({exc.reason})" if exc.reason else "")
+            raise RuntimeError(
+                f"Failed to download '{info.checkpoint_filename}' from '{url}'. "
+                f"{detail}. Confirm access to Hugging Face and retry. "
+                f"You can also pre-download using: dpdfnet-tpu download {info.name}"
+            ) from exc
+        except URLError as exc:
+            raise RuntimeError(
+                f"Failed to download '{info.checkpoint_filename}' from '{url}'. "
+                f"Network error: {exc.reason}. Check network/proxy settings and "
+                f"retry. You can also pre-download using: dpdfnet-tpu download "
+                f"{info.name}"
+            ) from exc
+        except OSError as exc:
+            if exc.errno in {errno.EACCES, errno.EPERM, errno.EROFS}:
+                raise RuntimeError(
+                    f"Failed to write '{info.checkpoint_filename}' to "
+                    f"'{destination_dir}'. Set DPDFNET_TPU_CACHE_DIR or "
+                    f"DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
+                ) from exc
+            raise RuntimeError(
+                f"Failed to download '{info.checkpoint_filename}' from '{url}'. "
+                f"Local filesystem error while writing '{ckpt_path}': {exc}."
+            ) from exc
+        if not _is_valid_file(ckpt_path):
+            raise RuntimeError(
+                f"Downloaded checkpoint for model '{info.name}' is invalid in "
+                f"{destination_dir}. Please retry after removing the file."
+            )
+
+
+def _find_first_existing(paths: List[Path], filename: str) -> Optional[Path]:
+    for directory in paths:
+        candidate = directory / filename
+        if _is_valid_file(candidate):
+            return candidate.resolve()
+    return None
+
+
+# --------------------------------------------------------------------------- #
+# Resolution + conversion cache
+# --------------------------------------------------------------------------- #
+
+def _npz_name(info: ModelInfo) -> str:
+    return f"{info.name}.params.npz"
+
+
+def resolve_model(
+    *, model: str,
+    checkpoint_path: Optional[Union[str, Path]] = None,
+    auto_download: bool = True,
+    verbose: bool = False,
+    notifier: Optional[Callable[[str], None]] = None,
+) -> ResolvedModel:
+    """Locate (or fetch) a model's weights; returns paths without loading."""
+    info = get_model_info(model)
+    cfg = get_config(model)
+    search_dirs = _candidate_model_dirs()
+
+    npz = _find_first_existing(search_dirs, _npz_name(info))
+    ckpt: Optional[Path] = None
+    if checkpoint_path is not None:
+        ckpt = Path(checkpoint_path).expanduser().resolve()
+        if not _is_valid_file(ckpt):
+            raise FileNotFoundError(f"Checkpoint file not found or empty: {ckpt}")
+        npz = None                                   # explicit ckpt wins
+    elif npz is None:
+        ckpt = _find_first_existing(search_dirs, info.checkpoint_filename)
+        if ckpt is None and auto_download:
+            target = _download_target_dir()
+            _ensure_downloaded(
+                info=info, destination_dir=target, revision=DEFAULT_REVISION,
+                force=False, verbose=verbose, notifier=notifier,
+            )
+            ckpt = (target / info.checkpoint_filename).resolve()
+
+    if npz is None and (ckpt is None or not _is_valid_file(ckpt)):
+        searched = [str(p) for p in search_dirs]
+        raise FileNotFoundError(
+            f"Could not resolve weights for '{info.name}'. Searched: {searched}. "
+            "Set DPDFNET_TPU_CACHE_DIR/DPDFNET_TPU_MODEL_DIR, or pass "
+            "checkpoint_path."
+        )
+
+    params_path = npz if npz is not None else (
+        _download_target_dir() / _npz_name(info))
+    return ResolvedModel(info=info, cfg=cfg, params_path=params_path,
+                         checkpoint_path=ckpt)
+
+
+def load_model_params(resolved: ResolvedModel):
+    """Load the converted params pytree, converting+caching on first use."""
+    from .utils import serialization
+
+    if _is_valid_file(resolved.params_path):
+        return serialization.load_params(resolved.params_path)
+    if resolved.checkpoint_path is None:
+        raise FileNotFoundError(
+            f"No cached params and no checkpoint for '{resolved.info.name}'.")
+    from .models import convert
+
+    params = convert.load_params(resolved.checkpoint_path, resolved.cfg)
+    try:
+        _assert_writable_dir(resolved.params_path.parent)
+        lock = FileLock(str(
+            resolved.params_path.parent / f".{resolved.info.name}.convert.lock"))
+        with lock:
+            if not _is_valid_file(resolved.params_path):
+                tmp = resolved.params_path.with_suffix(".tmp.npz")
+                serialization.save_params(tmp, params)
+                os.replace(tmp, resolved.params_path)
+    except (RuntimeError, OSError):
+        pass                                           # cache is best-effort
+    return params
+
+
+def download_model(
+    *, model: str, force: bool = False, verbose: bool = False,
+    notifier: Optional[Callable[[str], None]] = None,
+) -> ResolvedModel:
+    info = get_model_info(model)
+    target = _download_target_dir()
+    _ensure_downloaded(
+        info=info, destination_dir=target, revision=DEFAULT_REVISION,
+        force=force, verbose=verbose, notifier=notifier,
+    )
+    return ResolvedModel(
+        info=info, cfg=get_config(model),
+        params_path=target / _npz_name(info),
+        checkpoint_path=(target / info.checkpoint_filename).resolve(),
+    )
+
+
+def download_models(
+    *, models: Optional[List[str]] = None, force: bool = False,
+    verbose: bool = False, notifier: Optional[Callable[[str], None]] = None,
+) -> List[ResolvedModel]:
+    names = supported_models() if models is None else [
+        get_model_info(m).name for m in models]
+    return [
+        download_model(model=m, force=force, verbose=verbose, notifier=notifier)
+        for m in names
+    ]
+
+
+def available_model_entries() -> List[Dict[str, Any]]:
+    search_dirs = _candidate_model_dirs()
+    cache_dir = get_cache_model_dir().resolve()
+    entries: List[Dict[str, Any]] = []
+    for name in supported_models():
+        info = MODEL_REGISTRY[name]
+        ckpt = _find_first_existing(search_dirs, info.checkpoint_filename)
+        npz = _find_first_existing(search_dirs, _npz_name(info))
+        row = asdict(info)
+        row["checkpoint_path"] = str(ckpt) if ckpt else None
+        row["params_path"] = str(npz) if npz else None
+        row["ready"] = ckpt is not None or npz is not None
+        row["cache_dir"] = str(cache_dir)
+        row["cached"] = (
+            _is_valid_file(cache_dir / info.checkpoint_filename)
+            or _is_valid_file(cache_dir / _npz_name(info))
+        )
+        entries.append(row)
+    return entries

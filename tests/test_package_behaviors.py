@@ -1,0 +1,434 @@
+"""Package behaviour tests, ported from the reference suite
+(`/root/reference/package/tests/test_package_behaviors.py`): model-zoo
+download contracts, attn-limit semantics, API plumbing with fake engines,
+CLI exit codes and flag forwarding, audio IO."""
+
+import json
+import os
+from pathlib import Path
+from urllib.error import HTTPError, URLError
+
+import numpy as np
+import pytest
+
+import dpdfnet_tpu
+from dpdfnet_tpu import api, audio, audio_io, cli, zoo
+from dpdfnet_tpu.utils import serialization
+
+
+# --------------------------------------------------------------------------- #
+# Fakes
+# --------------------------------------------------------------------------- #
+
+class FakeEngine:
+    """Pass-through engine: enhanced == input (keeps real pipeline plumbing)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def enhance_waveforms(self, wavs, attn_limit_db=None, lengths=None):
+        return np.atleast_2d(np.asarray(wavs, np.float32)).copy() \
+            if np.asarray(wavs).ndim > 1 else np.asarray(wavs, np.float32).copy()
+
+
+@pytest.fixture
+def fake_engine(monkeypatch):
+    from dpdfnet_tpu.config import get_config
+
+    eng = FakeEngine(get_config("dpdfnet2"))
+    monkeypatch.setattr(api, "_get_engine", lambda *a, **k: eng)
+    return eng
+
+
+@pytest.fixture
+def tmp_model_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("DPDFNET_TPU_MODEL_DIR", str(tmp_path / "models"))
+    monkeypatch.setenv("DPDFNET_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    return tmp_path
+
+
+# --------------------------------------------------------------------------- #
+# Model zoo / downloads
+# --------------------------------------------------------------------------- #
+
+def test_registry_covers_all_six_models():
+    assert zoo.supported_models() == [
+        "baseline", "dpdfnet2", "dpdfnet2_48khz_hr", "dpdfnet4", "dpdfnet8",
+        "dpdfnet8_48khz_hr",
+    ]
+    for name in zoo.supported_models():
+        info = zoo.get_model_info(name)
+        assert info.sample_rate in (16000, 48000)
+        assert info.frame_ms == 20.0
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError, match="Unsupported model"):
+        zoo.get_model_info("nope")
+
+
+def test_download_fake_writer(tmp_model_dir, monkeypatch):
+    def fake_download(url, destination):
+        Path(destination).parent.mkdir(parents=True, exist_ok=True)
+        Path(destination).write_bytes(b"fake checkpoint")
+
+    monkeypatch.setattr(zoo, "_download_one", fake_download)
+    resolved = zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+    assert resolved.checkpoint_path.read_bytes() == b"fake checkpoint"
+
+
+def test_download_http_403_error_message(tmp_model_dir, monkeypatch):
+    def failing(url, destination):
+        raise HTTPError(url, 403, "Forbidden", hdrs=None, fp=None)
+
+    monkeypatch.setattr(zoo, "_download_one", failing)
+    with pytest.raises(RuntimeError, match="HTTP 403"):
+        zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+
+
+def test_download_url_error_message(tmp_model_dir, monkeypatch):
+    def failing(url, destination):
+        raise URLError("no route to host")
+
+    monkeypatch.setattr(zoo, "_download_one", failing)
+    with pytest.raises(RuntimeError, match="Network error"):
+        zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+
+
+def test_download_transient_retry_succeeds(tmp_model_dir, monkeypatch):
+    calls = {"n": 0}
+
+    def flaky(url, destination):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise HTTPError(url, 503, "unavailable", hdrs=None, fp=None)
+        Path(destination).parent.mkdir(parents=True, exist_ok=True)
+        Path(destination).write_bytes(b"ok")
+
+    monkeypatch.setattr(zoo, "_download_one", flaky)
+    monkeypatch.setattr(zoo.time, "sleep", lambda s: None)
+    resolved = zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+    assert calls["n"] == 3
+    assert resolved.checkpoint_path.read_bytes() == b"ok"
+
+
+def test_download_nonretryable_http_fails_fast(tmp_model_dir, monkeypatch):
+    calls = {"n": 0}
+
+    def failing(url, destination):
+        calls["n"] += 1
+        raise HTTPError(url, 404, "not found", hdrs=None, fp=None)
+
+    monkeypatch.setattr(zoo, "_download_one", failing)
+    monkeypatch.setattr(zoo.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError):
+        zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+    assert calls["n"] == 1
+
+
+def test_env_url_override(tmp_model_dir, monkeypatch):
+    seen = {}
+
+    def fake_download(url, destination):
+        seen["url"] = url
+        Path(destination).parent.mkdir(parents=True, exist_ok=True)
+        Path(destination).write_bytes(b"x")
+
+    monkeypatch.setenv("DPDFNET_TPU_HF_BASE_URL", "https://mirror.example")
+    monkeypatch.setenv("DPDFNET_TPU_HF_REPO", "me/myrepo")
+    monkeypatch.setenv("DPDFNET_TPU_HF_SUBDIR", "ckpt")
+    monkeypatch.setattr(zoo, "_download_one", fake_download)
+    zoo.download_model(model="baseline", notifier=lambda m: None)
+    assert seen["url"].startswith(
+        "https://mirror.example/me/myrepo/resolve/main/ckpt/baseline.pth")
+
+
+def test_unwritable_dir_message(tmp_path, monkeypatch):
+    if os.geteuid() == 0:
+        pytest.skip("permission bits are ignored for root")
+    target = tmp_path / "ro"
+    target.mkdir()
+    target.chmod(0o500)
+    monkeypatch.setenv("DPDFNET_TPU_MODEL_DIR", str(target))
+    try:
+        with pytest.raises(RuntimeError, match="writable"):
+            zoo.download_model(model="dpdfnet2", notifier=lambda m: None)
+    finally:
+        target.chmod(0o700)
+
+
+def test_available_model_entries(tmp_model_dir):
+    entries = zoo.available_model_entries()
+    assert len(entries) == 6
+    assert all(not e["ready"] for e in entries)
+
+
+def test_resolve_model_without_download_raises(tmp_model_dir):
+    with pytest.raises(FileNotFoundError, match="Could not resolve"):
+        zoo.resolve_model(model="dpdfnet2", auto_download=False)
+
+
+# --------------------------------------------------------------------------- #
+# attn-limit semantics (reference tests :121-179, :747-773)
+# --------------------------------------------------------------------------- #
+
+def _specs():
+    rng = np.random.default_rng(0)
+    noisy = rng.normal(size=(1, 12, 161, 2)).astype(np.float32)
+    enh = rng.normal(size=(1, 12, 161, 2)).astype(np.float32)
+    return noisy, enh
+
+
+def test_attn_limit_none_returns_enhanced():
+    noisy, enh = _specs()
+    out = audio.apply_attn_limit(noisy, enh, None)
+    np.testing.assert_array_equal(out, enh)
+
+
+def test_attn_limit_zero_db_returns_shifted_noisy():
+    noisy, enh = _specs()
+    out = audio.apply_attn_limit(noisy, enh, 0.0)
+    k = audio.ATTN_LIMIT_NOISY_FRAME_OFFSET
+    np.testing.assert_allclose(out[:, k:], noisy[:, :-k], atol=1e-6)
+    np.testing.assert_allclose(out[:, :k], 0.0)
+
+
+def test_attn_limit_finite_db_is_alpha_blend():
+    noisy, enh = _specs()
+    db = 12.0
+    out = audio.apply_attn_limit(noisy, enh, db)
+    alpha = 10 ** (-db / 20)
+    k = audio.ATTN_LIMIT_NOISY_FRAME_OFFSET
+    aligned = np.zeros_like(noisy)
+    aligned[:, k:] = noisy[:, :-k]
+    np.testing.assert_allclose(out, alpha * aligned + (1 - alpha) * enh,
+                               atol=1e-6)
+
+
+def test_attn_limit_negative_raises():
+    noisy, enh = _specs()
+    with pytest.raises(ValueError):
+        audio.apply_attn_limit(noisy, enh, -3.0)
+
+
+def test_attn_limit_shape_mismatch_raises():
+    noisy, enh = _specs()
+    with pytest.raises(ValueError):
+        audio.apply_attn_limit(noisy[:, :6], enh, 6.0)
+
+
+# --------------------------------------------------------------------------- #
+# API plumbing with fakes
+# --------------------------------------------------------------------------- #
+
+def test_enhance_passthrough_preserves_signal(fake_engine):
+    rng = np.random.default_rng(1)
+    x = (0.1 * rng.normal(size=16000)).astype(np.float32)
+    y = api.enhance(x, 16000, model="dpdfnet2")
+    assert y.shape == x.shape and y.dtype == np.float32
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+def test_enhance_resamples_back_to_input_rate(fake_engine):
+    rng = np.random.default_rng(2)
+    x = (0.1 * rng.normal(size=8000)).astype(np.float32)
+    y = api.enhance(x, 8000, model="dpdfnet2")
+    assert y.shape == x.shape
+
+
+def test_enhance_stereo_to_mono(fake_engine):
+    rng = np.random.default_rng(3)
+    x = (0.1 * rng.normal(size=(1600, 2))).astype(np.float32)
+    y = api.enhance(x, 16000, model="dpdfnet2")
+    assert y.ndim == 1 and y.shape[0] == 1600
+
+
+def test_enhance_progress_callback(fake_engine):
+    events = []
+    x = np.zeros(3200, np.float32)
+    api.enhance(x, 16000, progress_callback=lambda d, t: events.append((d, t)))
+    assert events[0][0] == 0 and events[-1][0] == events[-1][1] > 0
+
+
+def test_enhance_batch_roundtrip(fake_engine):
+    rng = np.random.default_rng(4)
+    a = (0.1 * rng.normal(size=1600)).astype(np.float32)
+    b = (0.1 * rng.normal(size=3200)).astype(np.float32)
+    outs = api.enhance_batch([a, b], 16000)
+    assert len(outs) == 2
+    assert outs[0].shape == a.shape and outs[1].shape == b.shape
+
+
+def test_enhance_file_roundtrip(fake_engine, tmp_path):
+    rng = np.random.default_rng(5)
+    x = (0.2 * rng.normal(size=3200)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    audio_io.write_wav(src, x, 16000)
+    out = api.enhance_file(src, tmp_path / "out.wav")
+    assert out.exists()
+    y, sr = audio_io.read_wav(out)
+    assert sr == 16000 and y.shape[0] == x.shape[0]
+
+
+def test_enhance_file_missing_input(fake_engine, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        api.enhance_file(tmp_path / "missing.wav")
+
+
+def test_lazy_facade_exports():
+    assert callable(dpdfnet_tpu.enhance)
+    assert callable(dpdfnet_tpu.download)
+    assert dpdfnet_tpu.StreamEnhancer is not None
+    with pytest.raises(AttributeError):
+        dpdfnet_tpu.nope
+
+
+# --------------------------------------------------------------------------- #
+# CLI
+# --------------------------------------------------------------------------- #
+
+def test_cli_no_command_prints_help(capsys):
+    assert cli.main([]) == 0
+    assert "usage" in capsys.readouterr().out
+
+
+def test_cli_models_table(tmp_model_dir, capsys):
+    assert cli.main(["models"]) == 0
+    out = capsys.readouterr().out
+    for name in zoo.supported_models():
+        assert name in out
+
+
+def test_cli_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--version"])
+    assert e.value.code == 0
+
+
+def test_cli_enhance_roundtrip(fake_engine, tmp_path, capsys):
+    x = (0.2 * np.random.default_rng(6).normal(size=3200)).astype(np.float32)
+    src = tmp_path / "noisy.wav"
+    audio_io.write_wav(src, x, 16000)
+    dst = tmp_path / "clean.wav"
+    rc = cli.main(["enhance", str(src), str(dst)])
+    assert rc == 0
+    assert dst.exists()
+
+
+def test_cli_enhance_missing_file_exit_code(fake_engine, tmp_path, capsys):
+    rc = cli.main(["enhance", str(tmp_path / "nope.wav"),
+                   str(tmp_path / "out.wav")])
+    assert rc == 2
+    assert "Error:" in capsys.readouterr().err
+
+
+def test_cli_enhance_forwards_attn_limit(monkeypatch, tmp_path):
+    seen = {}
+
+    def fake_enhance_file(**kwargs):
+        seen.update(kwargs)
+        return tmp_path / "out.wav"
+
+    monkeypatch.setattr(api, "enhance_file", fake_enhance_file)
+    src = tmp_path / "in.wav"
+    audio_io.write_wav(src, np.zeros(1600, np.float32), 16000)
+    rc = cli.main(["enhance", str(src), str(tmp_path / "out.wav"),
+                   "--attn-limit-db", "12"])
+    assert rc == 0
+    assert seen["attn_limit_db"] == 12.0
+
+
+def test_cli_enhance_dir(fake_engine, tmp_path, capsys):
+    rng = np.random.default_rng(7)
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    for i in range(3):
+        audio_io.write_wav(src_dir / f"u{i}.wav",
+                           (0.1 * rng.normal(size=1600)).astype(np.float32),
+                           16000)
+    rc = cli.main(["enhance-dir", str(src_dir), str(tmp_path / "out")])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("*_enhanced.wav"))
+    assert len(outs) == 3
+
+
+def test_cli_enhance_dir_empty(fake_engine, tmp_path, capsys):
+    (tmp_path / "empty").mkdir()
+    rc = cli.main(["enhance-dir", str(tmp_path / "empty"), str(tmp_path / "o")])
+    assert rc == 2
+
+
+def test_cli_download_conflicting_models(tmp_model_dir, capsys):
+    rc = cli.main(["download", "dpdfnet2", "--model", "dpdfnet4"])
+    assert rc == 2
+
+
+# --------------------------------------------------------------------------- #
+# Audio IO + serialization
+# --------------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("subtype", ["PCM_16", "FLOAT"])
+def test_wav_roundtrip(tmp_path, subtype):
+    rng = np.random.default_rng(8)
+    x = np.clip(0.5 * rng.normal(size=4800), -1, 1).astype(np.float32)
+    p = tmp_path / "t.wav"
+    audio_io.write_wav(p, x, 48000, subtype=subtype)
+    y, sr = audio_io.read_wav(p)
+    assert sr == 48000
+    atol = 1e-4 if subtype == "PCM_16" else 1e-7
+    np.testing.assert_allclose(y, x, atol=atol)
+
+
+def test_wav_stereo_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    x = np.clip(0.5 * rng.normal(size=(1600, 2)), -1, 1).astype(np.float32)
+    p = tmp_path / "st.wav"
+    audio_io.write_wav(p, x, 16000)
+    y, sr = audio_io.read_wav(p)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_wav_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"not a wav at all")
+    with pytest.raises(ValueError):
+        audio_io.read_wav(p)
+
+
+def test_unsupported_extension(tmp_path):
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\xff\xfb")
+    with pytest.raises(ValueError, match="Unsupported audio format"):
+        audio_io.read_audio(p)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.params import init_params
+    import jax
+
+    params = init_params(get_config("dpdfnet2"), seed=0)
+    p = tmp_path / "params.npz"
+    serialization.save_params(p, params)
+    loaded = serialization.load_params(p)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(sorted(flat_a, key=lambda kv: str(kv[0])),
+                                  sorted(flat_b, key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_resample_identity_and_ratio():
+    # band-limited test signal (white noise would be clipped at the
+    # anti-alias transition band and cannot round-trip)
+    t = np.arange(16000) / 16000.0
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1330 * t + 0.3)).astype(np.float32)
+    assert audio.resample(x, 16000, 16000) is not None
+    y = audio.resample(x, 16000, 48000)
+    assert abs(y.shape[0] - 48000) <= 1
+    z = audio.resample(y, 48000, 16000)
+    np.testing.assert_allclose(z[200:-200], x[200:-200], atol=5e-3)

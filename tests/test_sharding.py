@@ -1,0 +1,56 @@
+"""Multi-chip (virtual 8-device CPU mesh) sharding tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dpdfnet_tpu.config import get_config
+from dpdfnet_tpu.models.params import init_params
+from dpdfnet_tpu.models.state import init_state
+from dpdfnet_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=0)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    return cfg, params, mesh
+
+
+def test_sharded_offline_matches_single_device(setup):
+    cfg, params, mesh = setup
+    B, S = 8, cfg.hop * 8
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32) * 0.1)
+
+    fn = pmesh.make_sharded_enhance(cfg, mesh)
+    out_sharded = np.asarray(
+        fn(params, jax.device_put(wav, pmesh.batch_sharding(mesh))))
+
+    # single-device reference through the same math
+    from dpdfnet_tpu.runtime.engine import Engine
+
+    eng = Engine(cfg, params, bucket_s=S / cfg.sample_rate)
+    ref = eng.enhance_waveforms(np.asarray(wav))
+    n = min(out_sharded.shape[1], ref.shape[1])
+    np.testing.assert_allclose(out_sharded[:, :n], ref[:, :n], atol=1e-5)
+
+
+def test_sharded_stream_state_carry(setup):
+    cfg, params, mesh = setup
+    step = pmesh.make_sharded_stream_step(cfg, mesh)
+    B = 8
+    st = pmesh.shard_batch(mesh, init_state(cfg, batch=B))
+    rng = np.random.default_rng(1)
+    spec = jnp.asarray(rng.normal(size=(B, 3, cfg.freq_bins, 2)).astype(np.float32))
+    o1, st = step(params, spec, st)
+    o2, st = step(params, spec, st)
+    assert bool(jnp.isfinite(o2).all())
+    # state actually evolved
+    assert float(jnp.abs(o2 - o1).max()) > 0

@@ -1,0 +1,132 @@
+"""Streaming engine behaviour tests (ported from the reference suite §4:
+block-size invariance, buffering/latency edges, flush/reset semantics,
+COLA reconstruction, offline-vs-streaming consistency)."""
+
+import numpy as np
+import pytest
+
+from dpdfnet_tpu.config import get_config
+from dpdfnet_tpu.models.params import init_params
+from dpdfnet_tpu.runtime.engine import Engine
+from dpdfnet_tpu.stream import StreamEnhancer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = get_config("dpdfnet2")
+    return Engine(cfg, init_params(cfg, seed=0))
+
+
+@pytest.fixture(scope="module")
+def signal():
+    rng = np.random.default_rng(0)
+    return (0.1 * rng.normal(size=4800)).astype(np.float32)
+
+
+def _run_chunked(engine, x, sizes):
+    se = StreamEnhancer(engine=engine)
+    outs, pos, i = [], 0, 0
+    while pos < len(x):
+        n = sizes[i % len(sizes)]
+        i += 1
+        outs.append(se.process(x[pos: pos + n]))
+        pos += n
+    outs.append(se.flush())
+    return np.concatenate(outs)
+
+
+def test_block_size_invariance(engine, signal):
+    """Outputs must bit-match a 1-sample-at-a-time run for any chunking
+    (reference test_package_behaviors.py:494-520)."""
+    ref = _run_chunked(engine, signal, [1])
+    for sizes in ([7], [64], [160], [171], [320], [512], [1000], [3, 333, 61]):
+        got = _run_chunked(engine, signal, sizes)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_no_output_until_full_window(engine):
+    se = StreamEnhancer(engine=engine)
+    win = se._win_len
+    assert se.process(np.zeros(win - 1, np.float32)).size == 0
+    assert se.process(np.zeros(1, np.float32)).size > 0
+
+
+def test_flush_returns_at_most_one_hop(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    se.process(signal[: se._win_len + 13])
+    out = se.flush()
+    assert 0 < out.size <= se._hop_size
+
+
+def test_flush_empty_buffer(engine):
+    se = StreamEnhancer(engine=engine)
+    assert se.flush().size == 0
+
+
+def test_reset_clears_state(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    a = se.process(signal)
+    se.reset()
+    b = se.process(signal)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_rate_change_raises(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    se.process(signal[:100], sample_rate=16000)
+    with pytest.raises(ValueError):
+        se.process(signal[:100], sample_rate=48000)
+
+
+def test_stereo_to_mono(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    stereo = np.stack([signal, signal], axis=1)
+    a = se.process(stereo)
+    se.reset()
+    b = se.process(signal)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_empty_chunk(engine):
+    se = StreamEnhancer(engine=engine)
+    assert se.process(np.zeros(0, np.float32)).size == 0
+
+
+def test_resampled_stream_runs(engine):
+    se = StreamEnhancer(engine=engine)
+    rng = np.random.default_rng(1)
+    chunk = (0.1 * rng.normal(size=4800)).astype(np.float32)
+    out = se.process(chunk, sample_rate=48000)   # resampled 48k -> 16k inside
+    assert out.dtype == np.float32
+    # output comes back at the caller rate (3x the model-rate output length)
+    assert out.size > 0
+
+
+def test_offline_engine_matches_streaming_math(engine, signal):
+    """The offline jitted pipeline and the streaming path run the same model;
+    their outputs agree sample-for-sample once aligned (offline output is
+    advanced by 2*win_len; streaming has a one-window analysis latency and
+    uses causal framing, so compare the overlapping enhanced region)."""
+    cfg = engine.cfg
+    win, hop = cfg.win_len, cfg.hop
+    off = engine.enhance_waveforms(signal)
+
+    se = StreamEnhancer(engine=engine)
+    stream_out = np.concatenate([se.process(signal), se.flush()])
+
+    # The offline path advances its output by 2*win_len (= 4 hops) while the
+    # streaming path keeps the model's 4-frame processing delay in-line, so
+    # streaming lags offline by exactly 4 hops.  The two use different STFT
+    # conventions (center=True reflect vs causal), so compare by correlation
+    # over the overlap, not bit equality — same caveat as the reference
+    # documents (package/src/dpdfnet/stream.py:23-28).
+    lag = 4 * hop
+    off_seg = off[: stream_out.size - lag]
+    st_seg = stream_out[lag:]
+    n = min(off_seg.size, st_seg.size)
+    off_seg, st_seg = off_seg[:n], st_seg[:n]
+    denom = np.linalg.norm(off_seg) * np.linalg.norm(st_seg)
+    assert denom > 0
+    corr = float(np.dot(off_seg, st_seg) / denom)
+    assert corr > 0.99, corr
