@@ -155,19 +155,19 @@ def _encoder(
     new_erb_tail = jnp.concatenate([tail_in, x_erb], axis=1)[:, -2:]
 
     e1, _ = onn.conv_block(p["erb_conv1"], e0, kt=1, kf=kfc, fstride=s1,
-                           groups=cfg.conv_ch, act="relu")
+                           act="relu")
     e2, _ = onn.conv_block(p["erb_conv2"], e1, kt=1, kf=kfc, fstride=s2,
-                           groups=cfg.conv_ch, act="relu")
+                           act="relu")
     e3, _ = onn.conv_block(p["erb_conv3"], e2, kt=1, kf=kfc, fstride=s3,
-                           groups=cfg.conv_ch, act="relu")
+                           act="relu")
     e3d, new_dprnn_erb = _dprnn(p["dprnn_erb"], e3, state["dprnn_erb"])
 
     c0, new_df_tail = onn.conv_block(
-        p["df_conv0"], feat_spec, kt=kt, kf=kf, groups=2, act="relu",
+        p["df_conv0"], feat_spec, kt=kt, kf=kf, act="relu",
         time_tail=state["df_conv0_tail"],
     )
     c1, _ = onn.conv_block(p["df_conv1"], c0, kt=1, kf=kfc, fstride=2,
-                           groups=cfg.conv_ch, act="relu")
+                           act="relu")
     c1d, new_dprnn_df = _dprnn(p["dprnn_df"], c1, state["dprnn_df"])
 
     B, T = feat_erb.shape[:2]
@@ -214,16 +214,15 @@ def _erb_decoder(
 
     def up(pp, x, fstride):
         if fstride == 1:
-            y, _ = onn.conv_block(pp, x, kt=1, kf=kfc, groups=C, act="relu")
+            y, _ = onn.conv_block(pp, x, kt=1, kf=kfc, act="relu")
             return y
-        return onn.subpixel_block(pp, x, kf=kfc, fstride=fstride, groups=C,
-                                  act="relu")
+        return onn.subpixel_block(pp, x, kf=kfc, fstride=fstride, act="relu")
 
     def pconv(pp, x):
         # 1x1 pathway convs are depthwise: Conv2dNormAct computes
         # groups=gcd(in,out)=C before disabling the pointwise stage
         # (model/modules.py:685-715).
-        y, _ = onn.conv_block(pp, x, kt=1, kf=1, groups=C, act="relu")
+        y, _ = onn.conv_block(pp, x, kt=1, kf=1, act="relu")
         return y
 
     x3 = up(p["convt3"], pconv(p["conv3p"], e3) + e, st3)
@@ -246,7 +245,7 @@ def _df_decoder(
     c, new_hs = _squeezed_gru(p["df_gru"], emb, state["df_gru"])
     c = c + onn.grouped_linear(p["df_skip"], emb)
     c0p, new_tail = onn.conv_block(
-        p["df_convp"], c0, kt=cfg.df_kt, kf=1, groups=2, act="relu",
+        p["df_convp"], c0, kt=cfg.df_kt, kf=1, act="relu",
         time_tail=state["df_convp_tail"],
     )                                                            # [B,T,nb_df,2O]
     c = onn.grouped_linear(p["df_out"], c, act="tanh")

@@ -59,15 +59,20 @@ def conv_block(
     kt: int,
     kf: int,
     fstride: int = 1,
-    groups: int = 1,
     act: Optional[str] = "relu",
     time_tail: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Causal Conv2d + optional pointwise + BN(eval) + activation.
 
+    The group count is inferred from the weight shape
+    (``groups = Cin // w.shape[2]``), so the same forward code serves both
+    the reference's separable form (depthwise/grouped conv + 1x1 pointwise)
+    and the MXU-fused dense form produced by ``models.fuse`` (where the
+    separable pair is collapsed into one dense kernel and ``pw`` is absent).
+
     Args:
         p: ``{'w': [kt,kf,Cin//groups,Cout], 'b': [Cout]?,
-              'pw': {'w': [1,1,C,C]}?, 'bn': {'scale','shift'}?}``
+              'pw': {'w': [C,C]}?, 'bn': {'scale','shift'}?}``
         x: ``[B, T, F, Cin]``.
         time_tail: carried context of the last ``kt-1`` input frames
             ``[B, kt-1, F, Cin]`` (zeros == offline causal zero-pad).
@@ -85,6 +90,7 @@ def conv_block(
         x = jnp.concatenate([time_tail, x], axis=1)
         new_tail = x[:, -(kt - 1):]
     fpad = kf // 2
+    groups = x.shape[-1] // p["w"].shape[2]
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -108,7 +114,6 @@ def subpixel_block(
     *,
     kf: int,
     fstride: int,
-    groups: int = 1,
     act: Optional[str] = "relu",
 ) -> Array:
     """Sub-pixel frequency upsampling block (kernel time size 1).
@@ -120,6 +125,7 @@ def subpixel_block(
     becomes the frequency offset: ``out[..., f*fstride + i, c]``.
     """
     fpad = kf // 2
+    groups = x.shape[-1] // p["w"].shape[2]
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -195,7 +201,8 @@ def gru_cell(p: dict, xp: Array, h: Array) -> Array:
 
 
 def gru_seq(
-    p: dict, x: Array, h0: Optional[Array] = None, reverse: bool = False
+    p: dict, x: Array, h0: Optional[Array] = None, reverse: bool = False,
+    unroll: int = 4,
 ) -> Tuple[Array, Array]:
     """Run a GRU over the time axis of ``x: [B, T, I]``.
 
@@ -207,16 +214,21 @@ def gru_seq(
     """
     B, T, _ = x.shape
     H = p["wh"].shape[0]
-    xp = x @ p["wi"].astype(x.dtype) + p["bi"].astype(x.dtype)      # [B,T,3H]
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=x.dtype)
 
-    def step(h, xp_t):
-        h_new = gru_cell(p, xp_t, h)
+    # Transpose to time-major BEFORE the 3x input projection so the [.., 3H]
+    # tensor is produced directly in the scan's layout (the relayout copy
+    # then moves I-sized rows instead of 3H-sized ones).
+    xt = jnp.swapaxes(x, 0, 1)                                       # [T,B,I]
+    xp_t = xt @ p["wi"].astype(x.dtype) + p["bi"].astype(x.dtype)    # [T,B,3H]
+
+    def step(h, xp):
+        h_new = gru_cell(p, xp, h)
         return h_new, h_new
 
-    xp_t = jnp.swapaxes(xp, 0, 1)                                    # [T,B,3H]
-    h_last, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse)
+    h_last, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse,
+                              unroll=min(unroll, max(1, x.shape[1])))
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
@@ -225,6 +237,10 @@ def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
 
     Used for the DPRNN intra (frequency-axis) RNN where the full axis is
     available every frame (`/root/reference/onnx_model/layers.py:126-177`).
+
+    (A fused single-scan variant with direction-batched GEMMs was measured
+    slower on v5e than two plain scans — XLA's batched-matmul layouts cost
+    more than the saved loop; keep the simple form.)
     """
     y_fw, _ = gru_seq(p_fw, x)
     y_bw, _ = gru_seq(p_bw, x, reverse=True)
@@ -257,7 +273,8 @@ def ema_scan(x: Array, init: Array, alpha: float) -> Array:
         m = alpha * m + (1.0 - alpha) * x_t
         return m, m
 
-    _, ms = jax.lax.scan(step, init, jnp.swapaxes(x, 0, 1))
+    _, ms = jax.lax.scan(step, init, jnp.swapaxes(x, 0, 1),
+                         unroll=min(8, max(1, x.shape[1])))
     return jnp.swapaxes(ms, 0, 1)
 
 

@@ -42,14 +42,27 @@ class Engine:
         cfg: ModelConfig,
         params,
         *,
-        precision: str = "highest",
+        precision: str = "high",
         bucket_s: float = 1.0,
         compute_dtype=jnp.float32,
+        seg_frames: int = 256,
+        fuse: bool = True,
     ):
         self.cfg = cfg
+        if fuse:
+            from ..models.fuse import fuse_separable
+
+            params = fuse_separable(params, cfg)
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype
+        # Long utterances are processed as a lax.scan over fixed-size frame
+        # segments with the stream state carried between them: live
+        # activations (U-Net skip tensors etc.) are bounded by one segment
+        # instead of the whole utterance, which is what keeps large batches
+        # inside HBM.  Numerically identical to a single-span run up to the
+        # usual fp reduction-order noise.
+        self.seg_frames = int(seg_frames)
         self.bucket_samples = max(
             cfg.hop, int(round(bucket_s * cfg.sample_rate))
         )
@@ -70,26 +83,45 @@ class Engine:
         window = self._window
         precision = self.precision
 
+        seg = self.seg_frames
+
         @functools.partial(jax.jit, donate_argnums=())
         def run(params, wav: Array, alpha: Array):
             with jax.default_matmul_precision(precision):
                 # reference alignment: pad win_len zeros before the STFT
                 # (package/src/dpdfnet/api.py:88)
                 x = jnp.pad(wav, ((0, 0), (0, cfg.win_len)))
+                spec = stft_ops.stft(x, window, cfg.hop, center=True)
                 if self.compute_dtype != jnp.float32:
-                    x = x.astype(self.compute_dtype)
-                spec = stft_ops.stft(x, window.astype(x.dtype), cfg.hop,
-                                     center=True)
-                spec = spec * jnp.asarray(cfg.wnorm, x.dtype)
-                st = state_lib.init_state(cfg, batch=B, dtype=x.dtype)
-                out, _, lsnr = forward_spec(params, cfg, spec, st)
+                    spec = spec.astype(self.compute_dtype)
+                spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
+                st = state_lib.init_state(cfg, batch=B, dtype=spec.dtype)
+                T = spec.shape[1]
+                if T <= seg:
+                    out, _, lsnr = forward_spec(params, cfg, spec, st)
+                else:
+                    n_seg = -(-T // seg)
+                    spec_p = jnp.pad(
+                        spec, ((0, 0), (0, n_seg * seg - T), (0, 0), (0, 0)))
+                    segs = spec_p.reshape(
+                        B, n_seg, seg, *spec.shape[2:]).swapaxes(0, 1)
+
+                    def body(carry, spec_seg):
+                        o, carry, l = forward_spec(params, cfg, spec_seg, carry)
+                        return carry, (o, l)
+
+                    _, (outs, lsnrs) = jax.lax.scan(body, st, segs)
+                    out = outs.swapaxes(0, 1).reshape(
+                        B, n_seg * seg, *spec.shape[2:])[:, :T]
+                    lsnr = lsnrs.swapaxes(0, 1).reshape(B, n_seg * seg)[:, :T]
                 # attenuation limit: blend 4-frame-shifted noisy spec
                 # (package/src/dpdfnet/audio.py:50-76); alpha==0 -> passthrough
                 k = audio_lib.ATTN_LIMIT_NOISY_FRAME_OFFSET
                 aligned = jnp.pad(spec, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :-k]
-                out = alpha * aligned + (1.0 - alpha) * out
-                y = stft_ops.istft(out / jnp.asarray(cfg.wnorm, x.dtype),
-                                   window.astype(x.dtype), cfg.hop, center=True)
+                out = alpha * aligned.astype(jnp.float32) + \
+                    (1.0 - alpha) * out.astype(jnp.float32)
+                y = stft_ops.istft(out / jnp.asarray(cfg.wnorm, jnp.float32),
+                                   window, cfg.hop, center=True)
                 # output advanced by 2*win_len (2-frame lookahead + 2-frame DF
                 # delay), cf. onnx_model/dpdfnet.py:872
                 return y[:, 2 * cfg.win_len:].astype(jnp.float32), lsnr
