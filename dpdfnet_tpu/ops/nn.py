@@ -91,6 +91,10 @@ def conv_block(
         new_tail = x[:, -(kt - 1):]
     fpad = kf // 2
     groups = x.shape[-1] // p["w"].shape[2]
+    # NOTE: explicit im2col (slice-stack + GEMM) variants were benchmarked
+    # against XLA's native conv lowering on v5e and lost — the materialised
+    # patch tensors triple activation traffic (see _conv_patches_gemm, kept
+    # for experimentation).
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -106,6 +110,36 @@ def conv_block(
     if p.get("bn") is not None:
         y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
     return apply_act(y, act), new_tail
+
+
+def _conv_patches_gemm(
+    w: Array, x: Array, *, kt: int, kf: int, fpad: int, fstride: int
+) -> Array:
+    """Dense conv as slice-patches + GEMM.
+
+    x: [B, T+kt-1, F, Cin] (time already causally extended), w HWIO
+    [kt, kf, Cin, Cout].  Output [B, T, F_out, Cout] with
+    F_out = floor((F + 2*fpad - kf)/fstride) + 1.
+    """
+    B = x.shape[0]
+    T = x.shape[1] - (kt - 1)
+    F = x.shape[2]
+    cin = x.shape[3]
+    if fpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (fpad, fpad), (0, 0)))
+    f_out = (F + 2 * fpad - kf) // fstride + 1
+    cols = []
+    for dt in range(kt):
+        for df in range(kf):
+            stop = df + (f_out - 1) * fstride + 1
+            cols.append(x[:, dt: dt + T, df: stop: fstride, :])
+    patches = jnp.concatenate(cols, axis=-1)            # [B,T,F_out,kt*kf*Cin]
+    wm = w.astype(x.dtype).reshape(kt * kf * cin, -1)
+    if wm.shape[-1] == 1:
+        # C_out == 1 heads (the mask output conv): a multiply-reduce on the
+        # VPU instead of an N=1 matmul whose [.., 1] layout tiles terribly.
+        return jnp.einsum("btfk,k->btf", patches, wm[:, 0])[..., None]
+    return patches @ wm
 
 
 def subpixel_block(
@@ -217,6 +251,16 @@ def gru_seq(
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=x.dtype)
 
+    from . import pallas_gru
+
+    if T >= 2 and pallas_gru.enabled():
+        ys_tm, h_last = pallas_gru.gru_scan_tm(
+            jnp.swapaxes(x, 0, 1), h0,
+            p["wi"], p["bi"], p["wh"], p["bh"],
+            reverse=reverse, precision=_ambient_precision(),
+        )
+        return jnp.swapaxes(ys_tm, 0, 1), h_last
+
     # Transpose to time-major BEFORE the 3x input projection so the [.., 3H]
     # tensor is produced directly in the scan's layout (the relayout copy
     # then moves I-sized rows instead of 3H-sized ones).
@@ -230,6 +274,19 @@ def gru_seq(
     h_last, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse,
                               unroll=min(unroll, max(1, x.shape[1])))
     return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def _ambient_precision() -> str:
+    """Map the ambient jax matmul-precision context to a kernel tier."""
+    try:
+        value = jax.config.jax_default_matmul_precision
+    except AttributeError:
+        value = None
+    if value in ("float32", "highest"):
+        return "highest"
+    if value in ("high", "bfloat16_3x", "tensorfloat32"):
+        return "high"
+    return "default"
 
 
 def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
