@@ -25,7 +25,16 @@ _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Read a RIFF/WAVE file -> (float32 samples [S] or [S, C], sample_rate)."""
+    """Read a RIFF/WAVE file -> (float32 samples [S] or [S, C], sample_rate).
+
+    Uses the native C++ decoder when built (bit-identical for PCM16/float32);
+    falls back to the pure-NumPy parser for everything else.
+    """
+    from . import native
+
+    got = native.wav_read(path)
+    if got is not None:
+        return got
     data = Path(path).read_bytes()
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"Not a RIFF/WAVE file: {path}")
@@ -85,6 +94,11 @@ def write_wav(
 ) -> None:
     """Write float32 audio ([S] or [S, C]) as PCM_16 or FLOAT wav."""
     x = np.asarray(audio)
+    if subtype == "PCM_16" and x.dtype != np.int16:
+        from . import native
+
+        if native.wav_write(path, np.asarray(x, np.float32), sample_rate):
+            return
     channels = 1 if x.ndim == 1 else x.shape[1]
     if subtype == "PCM_16":
         if x.dtype != np.int16:

@@ -83,6 +83,28 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("-q", "--quiet", action="store_true")
     g.add_argument("-v", "--verbose", action="store_true")
 
+    p_eval = sub.add_parser(
+        "eval",
+        help="Score enhanced vs clean audio (SI-SNR/STOI/WB-PESQ) from a CSV "
+             "with enhanced_path,clean_path columns.")
+    p_eval.add_argument("csv", type=Path)
+    p_eval.add_argument("--out", default=None,
+                        help="Output CSV (default: results.csv next to input)")
+
+    p_demo = sub.add_parser(
+        "demo",
+        help="Stream a file (or microphone, if sounddevice is installed) "
+             "through the real-time enhancer.")
+    p_demo.add_argument("--input", type=Path, default=None,
+                        help="Input wav to stream; omit for live microphone.")
+    p_demo.add_argument("--output", type=Path, default=None,
+                        help="Optional output wav for the enhanced stream.")
+    p_demo.add_argument("--mix", type=float, default=1.0,
+                        help="Dry/wet mix: 0 = passthrough noisy, 1 = enhanced.")
+    p_demo.add_argument("--chunk-ms", type=float, default=10.0,
+                        help="Streaming chunk size in milliseconds.")
+    _add_model_resolution_args(p_demo)
+
     p_bench = sub.add_parser("bench", help="Measure offline throughput (xRT).")
     p_bench.add_argument("--model", default="dpdfnet8_48khz_hr",
                          choices=supported_models())
@@ -256,6 +278,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             return _run_enhance_dir(args)
         if args.command == "download":
             return _run_download(args)
+        if args.command == "eval":
+            from .metrics import evaluate_csv
+
+            out = evaluate_csv(str(args.csv), args.out)
+            print(f"Wrote results to: {out}")
+            return 0
+        if args.command == "demo":
+            from .demo import run_demo
+
+            return run_demo(
+                model=args.model, input_path=args.input,
+                output_path=args.output, mix=args.mix,
+                chunk_ms=args.chunk_ms, verbose=args.verbose)
         if args.command == "bench":
             return _run_bench(args)
     except Exception as exc:

@@ -100,11 +100,16 @@ class StreamEnhancer:
         y, self._state = self._engine.process_frames(frames, self._state)
         y = y[0]                                       # [T, win]
 
-        # Vectorised overlap-add at 50% overlap (win == 2*hop): each committed
-        # hop is this frame's first half plus the previous frame's second half.
-        tails = np.concatenate([self._ola_tail[None], y[:-1, hop:]], axis=0)
-        committed = (y[:, :hop] + tails).reshape(-1)
-        self._ola_tail = y[-1, hop:].copy()
+        # Overlap-add at 50% overlap (win == 2*hop): each committed hop is
+        # this frame's first half plus the previous frame's second half.
+        # Native C++ path when built (bit-identical to the NumPy form).
+        from . import native
+
+        committed = native.ola_commit(y, self._ola_tail)
+        if committed is None:
+            tails = np.concatenate([self._ola_tail[None], y[:-1, hop:]], axis=0)
+            committed = (y[:, :hop] + tails).reshape(-1)
+            self._ola_tail = y[-1, hop:].copy()
         self._in_buf = self._in_buf[T * hop:]
 
         if sr_in != self._model_sr:
