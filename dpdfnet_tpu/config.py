@@ -47,6 +47,7 @@ class ModelConfig:
     lsnr_min: float = -15.0
     lsnr_max: float = 35.0
     min_nb_freqs: int = 1           # min rfft bins per ERB band
+    upsample: str = "subpixel"      # decoder upsampling: subpixel | transpose
 
     # ------------------------------------------------------------------ #
     # Derived shapes

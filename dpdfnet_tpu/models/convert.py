@@ -126,6 +126,28 @@ def _grouped_conv(sd: _SD, prefix: str, groups: int, *, has_pad: bool) -> Dict:
     return p
 
 
+def _conv_transpose(sd: _SD, prefix: str, groups_hint: int) -> Dict:
+    """ConvTranspose2d (+pw +bn) -> fractionally-strided conv kernel.
+
+    torch weight [in, out/g, kh, kw] becomes HWIO [kh, kw, in/g, out] with
+    the spatial taps flipped; ``ops.nn.conv_transpose_block`` then computes
+    the exact transposed conv via ``lhs_dilation``.
+    """
+    w = sd(f"{prefix}.0.weight")                   # [in, out/g, kh, kw]
+    cin, out_g, kh, kw = w.shape
+    g = groups_hint
+    w = w[:, :, ::-1, ::-1]                        # flip taps
+    wg = w.reshape(g, cin // g, out_g, kh, kw)
+    rhs = np.transpose(wg, (3, 4, 1, 0, 2)).reshape(kh, kw, cin // g,
+                                                    g * out_g)
+    p: Dict = {"w": np.ascontiguousarray(rhs), "b": None}
+    if sd.has(f"{prefix}.0.bias"):
+        p["b"] = sd(f"{prefix}.0.bias")
+    p["pw"] = {"w": sd(f"{prefix}.1.weight")[:, :, 0, 0].T.copy()}
+    p["bn"] = _bn(sd, f"{prefix}.2")
+    return p
+
+
 def _subpixel_conv(sd: _SD, prefix: str, fstride: int) -> Dict:
     # sub-convs at sequential index 0 (kernel time==1 -> no pad layer)
     ws = [sd(f"{prefix}.0.convs.{s}.weight") for s in range(fstride)]
@@ -243,11 +265,19 @@ def convert_state_dict(
         "conv1p": _plain_conv(sd, "erb_dec.conv1p", has_pad=False, has_pw=False),
         "conv0p": _plain_conv(sd, "erb_dec.conv0p", has_pad=False, has_pw=False),
         "conv0_out": _plain_conv(sd, "erb_dec.conv0_out", has_pad=False, has_pw=False),
-        "convt3": (_plain_conv(sd, "erb_dec.convt3", has_pad=False, has_pw=True)
-                   if st3 == 1 else _subpixel_conv(sd, "erb_dec.convt3", st3)),
-        "convt2": _subpixel_conv(sd, "erb_dec.convt2", st2),
-        "convt1": _subpixel_conv(sd, "erb_dec.convt1", st1),
     }
+    C = cfg.conv_ch
+    if cfg.upsample == "transpose":
+        def _up(prefix, st):
+            return _conv_transpose(sd, prefix, C)
+    else:
+        def _up(prefix, st):
+            return _subpixel_conv(sd, prefix, st)
+    erb_dec["convt3"] = (_plain_conv(sd, "erb_dec.convt3", has_pad=False,
+                                     has_pw=True)
+                         if st3 == 1 else _up("erb_dec.convt3", st3))
+    erb_dec["convt2"] = _up("erb_dec.convt2", st2)
+    erb_dec["convt1"] = _up("erb_dec.convt1", st1)
     if cfg.hr:
         erb_dec["erb_fc_emb"] = _gl(sd, "erb_dec.erb_fc_emb.0", elg)
 

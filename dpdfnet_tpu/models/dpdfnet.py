@@ -216,6 +216,9 @@ def _erb_decoder(
         if fstride == 1:
             y, _ = onn.conv_block(pp, x, kt=1, kf=kfc, act="relu")
             return y
+        if cfg.upsample == "transpose":
+            return onn.conv_transpose_block(pp, x, kf=kfc, fstride=fstride,
+                                            act="relu")
         return onn.subpixel_block(pp, x, kf=kfc, fstride=fstride, act="relu")
 
     def pconv(pp, x):

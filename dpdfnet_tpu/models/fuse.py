@@ -96,10 +96,12 @@ def fuse_separable(params: Params, cfg: ModelConfig) -> Params:
     dec = dict(p["erb_dec"])
     if st3 == 1:
         dec["convt3"] = _fuse_conv(dict(dec["convt3"]), C)
-    else:
+    elif cfg.upsample == "subpixel":
         dec["convt3"] = _fuse_subpixel(dict(dec["convt3"]), C, st3)
-    dec["convt2"] = _fuse_subpixel(dict(dec["convt2"]), C, st2)
-    dec["convt1"] = _fuse_subpixel(dict(dec["convt1"]), C, st1)
+    if cfg.upsample == "subpixel":
+        dec["convt2"] = _fuse_subpixel(dict(dec["convt2"]), C, st2)
+        dec["convt1"] = _fuse_subpixel(dict(dec["convt1"]), C, st1)
+    # transpose upsampling keeps its pointwise stage explicit
     p["erb_dec"] = dec
 
     dfd = dict(p["df_dec"])

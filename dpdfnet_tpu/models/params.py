@@ -132,10 +132,16 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
         "conv0_out": _conv(kg, 1, kfc, C, 1),
     }
     st3, st2, st1 = cfg.dec_fstrides
+
+    def _up(st):
+        if cfg.upsample == "transpose":
+            return _conv(kg, 1, kfc, 1, C, pw=True)   # HWIO [1,kf,in/g,out]
+        return _subpixel(kg, kfc, 1, C, st)
+
     erb_dec["convt3"] = (_conv(kg, 1, kfc, 1, C, pw=True) if st3 == 1
-                         else _subpixel(kg, kfc, 1, C, st3))
-    erb_dec["convt2"] = _subpixel(kg, kfc, 1, C, st2)
-    erb_dec["convt1"] = _subpixel(kg, kfc, 1, C, st1)
+                         else _up(st3))
+    erb_dec["convt2"] = _up(st2)
+    erb_dec["convt1"] = _up(st1)
     if cfg.hr:
         erb_dec["erb_fc_emb"] = _gl(kg, cfg.emb_dim, C * cfg.dprnn_erb_feat, elg)
 

@@ -142,6 +142,44 @@ def _conv_patches_gemm(
     return patches @ wm
 
 
+def conv_transpose_block(
+    p: dict,
+    x: Array,
+    *,
+    kf: int,
+    fstride: int,
+    act: Optional[str] = "relu",
+) -> Array:
+    """Causal ConvTranspose over frequency + optional pointwise + BN + act.
+
+    Matches ``ConvTranspose2dNormAct`` (kernel time size 1, padding
+    ``kf//2``, output_padding ``kf//2`` — reference
+    model/modules.py:728-783): implemented as a fractionally-strided conv
+    (``lhs_dilation``) with the pre-flipped kernel stored in
+    ``p['w']: [1, kf, Cin//groups(out-block), Cout-expanded]`` (see
+    ``models.convert._conv_transpose``).
+    """
+    fpad = kf // 2
+    # kernel layout already [kh, kw, in/g, out]; fgc inferred like conv_block
+    groups = x.shape[-1] // p["w"].shape[2]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(0, 0), (kf - 1 - fpad, kf - 1 - fpad + fpad)],
+        lhs_dilation=(1, fstride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"].astype(y.dtype)
+    if p.get("pw") is not None:
+        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
+    if p.get("bn") is not None:
+        y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
+    return apply_act(y, act)
+
+
 def subpixel_block(
     p: dict,
     x: Array,
@@ -302,6 +340,32 @@ def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
     y_fw, _ = gru_seq(p_fw, x)
     y_bw, _ = gru_seq(p_bw, x, reverse=True)
     return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+
+def grouped_gru_seq(
+    ps: list, x: Array, h0s: Optional[list] = None, shuffle_out: bool = False
+) -> Tuple[Array, list]:
+    """Grouped GRU layer: independent GRUs over channel groups
+    (reference ``GroupedGRULayer``, model/modules.py:1097-1168).
+
+    ``ps`` is a list of per-group GRU param dicts; the input's last axis is
+    split evenly across groups; outputs concatenate (optionally shuffled
+    group-major -> interleaved like ``GroupedGRU``'s shuffle stage).
+    """
+    g = len(ps)
+    xs = jnp.split(x, g, axis=-1)
+    if h0s is None:
+        h0s = [None] * g
+    ys, hs = [], []
+    for p, xg, h0 in zip(ps, xs, h0s):
+        y, h = gru_seq(p, xg, h0=h0)
+        ys.append(y)
+        hs.append(h)
+    out = jnp.concatenate(ys, axis=-1)
+    if shuffle_out:
+        B, T, C = out.shape
+        out = out.reshape(B, T, g, C // g).swapaxes(-1, -2).reshape(B, T, C)
+    return out, hs
 
 
 # --------------------------------------------------------------------------- #

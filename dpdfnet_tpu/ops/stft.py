@@ -50,6 +50,42 @@ def stft(
     return jnp.stack([spec.real, spec.imag], axis=-1).astype(x.dtype)
 
 
+def dft_matrices(n_fft: int, window: np.ndarray) -> np.ndarray:
+    """Windowed real-DFT as one matmul weight [win, 2*(n_fft//2+1)].
+
+    The MXU-native front-end (cf. the reference's ConvSTFT, which expresses
+    the DFT as a conv1d — model/modules.py:214-292 — and the GEMM-native
+    NDFT idea of MelT): ``frames @ W`` yields [.., F] real parts then [.., F]
+    imaginary parts.
+    """
+    F = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(F)[None, :]
+    arg = -2.0 * np.pi * n * k / n_fft
+    real = np.cos(arg) * window[:, None]
+    imag = np.sin(arg) * window[:, None]
+    return np.concatenate([real, imag], axis=1).astype(np.float32)
+
+
+def stft_matmul(
+    x: Array, window: Array, hop: int, *, center: bool = True,
+    dft: Array | None = None,
+) -> Array:
+    """STFT with the DFT evaluated as a single GEMM on the MXU.
+
+    Numerically equivalent to :func:`stft` (an FFT) to ~1e-4; useful when
+    the fused framing+window+DFT GEMM beats the FFT lowering, and as the
+    equivalent of the reference's conv-STFT formulation.
+    """
+    win = window.shape[0]
+    if dft is None:
+        dft = jnp.asarray(dft_matrices(win, np.asarray(window)))
+    frames = frame_signal(x, win, hop, center=center)
+    F = win // 2 + 1
+    out = frames @ dft.astype(x.dtype)                 # [B, T, 2F]
+    return jnp.stack([out[..., :F], out[..., F:]], axis=-1)
+
+
 def istft(
     spec: Array, window: Array, hop: int, *, center: bool = True
 ) -> Array:

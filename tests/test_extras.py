@@ -1,0 +1,185 @@
+"""Tests for auxiliary ops: multiframe filters, extras, matmul-DFT, grouped GRU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from conftest import add_reference_paths, reference_available
+
+from dpdfnet_tpu.ops import extras, multiframe, nn as onn, stft as stft_ops
+from dpdfnet_tpu.ops.windows import vorbis_window
+
+
+def test_spec_unfold_and_df_match_reference_module():
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+
+    ref_mf = importlib.import_module("onnx_model.multiframe")
+
+    rng = np.random.default_rng(0)
+    B, T, F, N, LA = 2, 12, 33, 5, 2
+    spec = rng.normal(size=(B, T, F, 2)).astype(np.float32)
+    coefs = rng.normal(size=(B, T, N, F, 2)).astype(np.float32)
+
+    # reference offline: unfold [B,C,T,F] complex, einsum with [B,C,N,T,F]
+    mod = ref_mf.DF.__mro__[1]  # MultiFrameModule
+    ref = mod(num_freqs=F, frame_size=N, lookahead=LA)
+    spec_t = torch.view_as_complex(
+        torch.from_numpy(spec)).unsqueeze(1)            # [B,1,T,F]
+    su = ref.spec_unfold(spec_t)                        # [B,1,T,F,N]
+    coefs_t = torch.view_as_complex(
+        torch.from_numpy(coefs)).unsqueeze(1)           # [B,1,T? ...]
+    # reference df: spec [B,C,T,F,N] x coefs [B,C,N,T,F]
+    ref_out = ref_mf.df(su, coefs_t.permute(0, 1, 2, 3, 4).reshape(
+        B, 1, T, N, F).permute(0, 1, 3, 2, 4))
+    ref_out = torch.view_as_real(ref_out[:, 0]).numpy()
+
+    got_u = multiframe.spec_unfold(jnp.asarray(spec), N, LA)   # [B,T,N,F,2]
+    got = multiframe.df(got_u, jnp.asarray(coefs))
+    np.testing.assert_allclose(np.asarray(got), ref_out, atol=1e-5)
+
+
+def test_mf_wiener_inverse_identity():
+    """With iRxx = identity, weights == ifc; output = sum_n win_n * ifc_n."""
+    rng = np.random.default_rng(1)
+    B, T, F, N = 1, 8, 17, 3
+    spec = rng.normal(size=(B, T, F, 2)).astype(np.float32)
+    ifc = rng.normal(size=(B, T, F, N, 2)).astype(np.float32)
+    eye = np.zeros((B, T, F, N, N, 2), np.float32)
+    for n in range(N):
+        eye[..., n, n, 0] = 1.0
+    out = multiframe.mf_wiener(jnp.asarray(spec), jnp.asarray(ifc),
+                               jnp.asarray(eye), frame_size=N, num_freqs=F)
+    su = multiframe.spec_unfold(jnp.asarray(spec), N, 0)
+    sc = jax.lax.complex(su[..., 0], su[..., 1])
+    vc = jax.lax.complex(ifc[..., 0], ifc[..., 1])
+    expect = jnp.einsum("btnf,btfn->btf", sc, jnp.moveaxis(vc, -1, -1).transpose(0, 1, 2, 3))
+    expect = jnp.sum(jnp.moveaxis(sc, 2, -1) * vc, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0] + 1j * out[..., 1]), np.asarray(expect),
+        atol=1e-4)
+
+
+def test_mf_mvdr_runs_and_preserves_upper_bins():
+    rng = np.random.default_rng(2)
+    B, T, F, N, NF = 1, 6, 21, 3, 10
+    spec = rng.normal(size=(B, T, F, 2)).astype(np.float32)
+    ifc = rng.normal(size=(B, T, NF, N, 2)).astype(np.float32)
+    r = rng.normal(size=(B, T, NF, N, N, 2)).astype(np.float32)
+    out = multiframe.mf_mvdr(jnp.asarray(spec), jnp.asarray(ifc),
+                             jnp.asarray(r), frame_size=N, num_freqs=NF)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out)[:, :, NF:], spec[:, :, NF:])
+
+
+def test_tik_reg_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+
+    ref_mf = importlib.import_module("onnx_model.multiframe")
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(2, 4, 4, 2)).astype(np.float32)
+    mt = torch.view_as_complex(torch.from_numpy(m))
+    ref = torch.view_as_real(ref_mf._tik_reg(mt, 1e-6, 1e-7)).numpy()
+    got = np.asarray(multiframe.tik_reg(jnp.asarray(m), 1e-6, 1e-7))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_power_law_roundtrip_and_angle_grad():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    c = extras.power_law_compression(x, 0.6)
+    y = extras.power_law_decompression(c, 0.6)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    z = jax.lax.complex(jnp.asarray([1.0, 0.0, 1e-8]),
+                        jnp.asarray([1.0, 0.0, 0.0]))
+    g = jax.grad(lambda v: jnp.sum(extras.angle(v)), holomorphic=False)
+    gv = g(z)
+    assert np.isfinite(np.asarray(gv.real)).all()     # robust at ~0 magnitude
+
+
+def test_local_snr_target_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/reference/model")
+    ref_utils = importlib.import_module("model.utils")
+    rng = np.random.default_rng(5)
+    clean = rng.normal(size=(2, 40, 33, 2)).astype(np.float32)
+    noise = rng.normal(size=(2, 40, 33, 2)).astype(np.float32)
+
+    tgt_ref = ref_utils.LocalSnrTarget(fft_size=320, hop_size=160, sr=16000,
+                                       ws=20, db=True,
+                                       target_snr_range=(-15, 35))
+    ref = tgt_ref(torch.view_as_complex(torch.from_numpy(clean)),
+                  torch.view_as_complex(torch.from_numpy(noise))).numpy()
+
+    tgt = extras.LocalSnrTarget(fft_size=320, hop_size=160, sr=16000, ws=20,
+                                db=True, target_snr_range=(-15, 35))
+    got = np.asarray(tgt(jnp.asarray(clean), jnp.asarray(noise)))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_comb_filter_matrix_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+
+    ref_utils = importlib.import_module("model.utils")
+    ref = ref_utils.create_comb_filter_matrix(
+        pitch_min=80, pitch_max=90, nfft=256, sample_rate=16000,
+        output_domain="time").numpy()
+    got = extras.create_comb_filter_matrix(
+        pitch_min=80, pitch_max=90, nfft=256, sample_rate=16000,
+        output_domain="time")
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_stft_matmul_matches_fft():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32))
+    w = jnp.asarray(vorbis_window(320))
+    a = stft_ops.stft(x, w, 160, center=True)
+    b = stft_ops.stft_matmul(x, w, 160, center=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_grouped_gru_matches_torch_grouped_layer():
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/reference/model")
+    mods = importlib.import_module("modules")
+
+    torch.manual_seed(7)
+    G, C = 4, 16
+    layer = mods.GroupedGRULayer(C, C, groups=G, batch_first=True)
+    layer.eval()
+    x = torch.randn(3, 11, C)
+    with torch.no_grad():
+        y_ref, h_ref = layer(x)
+
+    ps = []
+    for i, gru in enumerate(layer.layers):
+        ps.append({
+            "wi": jnp.asarray(gru.weight_ih_l0.detach().numpy().T),
+            "bi": jnp.asarray(gru.bias_ih_l0.detach().numpy()),
+            "wh": jnp.asarray(gru.weight_hh_l0.detach().numpy().T),
+            "bh": jnp.asarray(gru.bias_hh_l0.detach().numpy()),
+        })
+    y, hs = onn.grouped_gru_seq(ps, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)

@@ -43,11 +43,13 @@ def _build_reference(cfg):
         if cfg.hr:
             from onnx_model.dpdfnet_48khz_hr import DPDFNet48HR
 
-            model = DPDFNet48HR(dprnn_num_blocks=cfg.dprnn_blocks)
+            model = DPDFNet48HR(dprnn_num_blocks=cfg.dprnn_blocks,
+                                upsample_conv_type=cfg.upsample)
         else:
             from onnx_model.dpdfnet import DPDFNet
 
-            model = DPDFNet(dprnn_num_blocks=cfg.dprnn_blocks)
+            model = DPDFNet(dprnn_num_blocks=cfg.dprnn_blocks,
+                            upsample_conv_type=cfg.upsample)
     model.eval()
     return model
 
@@ -78,6 +80,18 @@ def _rand_spec(cfg, T, seed=0, batch=1):
 )
 def test_forward_matches_reference_streaming(name, T):
     cfg = get_config(name)
+    _check_parity(cfg, T)
+
+
+def test_forward_matches_reference_transpose_upsampling():
+    """The non-default ConvTranspose decoder variant also matches."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("dpdfnet2"), upsample="transpose")
+    _check_parity(cfg, 16)
+
+
+def _check_parity(cfg, T):
     model = _build_reference(cfg)
     spec_np = _rand_spec(cfg, T)
 
