@@ -24,7 +24,7 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    precision = os.environ.get("BENCH_PRECISION", "high")
+    precision = os.environ.get("BENCH_PRECISION", "default")
     print(run_bench(model=model, batch=batch, seconds=seconds, reps=reps,
                     random_weights=True, precision=precision))
     return 0

@@ -64,14 +64,18 @@ def _features(
         # 16 kHz: ERB-banded power in dB (onnx_model/dpdfnet.py:831-833)
         feat_erb_raw = _to_db(power @ params["erb_fb"].astype(spec.dtype))
 
-    mu = onn.ema_scan(feat_erb_raw, state["erb_norm"], cfg.alpha)
+    # Associative (log-depth) EMA for multi-frame spans; for T == 1 both
+    # forms are the identical single update, so the streaming engine's
+    # per-frame scan keeps its bit-exact block-size invariance.
+    ema = onn.ema_scan if spec.shape[1] == 1 else onn.ema_scan_assoc
+    mu = ema(feat_erb_raw, state["erb_norm"], cfg.alpha)
     feat_erb = (feat_erb_raw - mu) / 40.0
 
     feat_spec_raw = spec[:, :, : cfg.nb_df, :]
     mag = jnp.sqrt(
         jnp.square(feat_spec_raw[..., 0]) + jnp.square(feat_spec_raw[..., 1])
     )
-    s = onn.ema_scan(mag, state["spec_norm"], cfg.alpha)
+    s = ema(mag, state["spec_norm"], cfg.alpha)
     feat_spec = feat_spec_raw / jnp.sqrt(s + _SPEC_EPS)[..., None]
 
     return feat_erb, feat_spec, mu[:, -1], s[:, -1]

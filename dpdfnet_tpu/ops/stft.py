@@ -86,6 +86,45 @@ def stft_matmul(
     return jnp.stack([out[..., :F], out[..., F:]], axis=-1)
 
 
+def idft_matrices(n_fft: int, window: np.ndarray) -> np.ndarray:
+    """Inverse real-DFT + synthesis window as one matmul weight
+    [2*(n_fft//2+1), win]: ``spec_ri_concat @ W`` yields windowed time
+    frames ready for overlap-add."""
+    F = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(F)[:, None]
+    arg = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((F, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    real = np.cos(arg) * scale
+    imag = -np.sin(arg) * scale
+    m = np.concatenate([real, imag], axis=0)             # [2F, win]
+    return (m * window[None, :]).astype(np.float32)
+
+
+def istft_matmul(
+    spec: Array, window: Array, hop: int, *, center: bool = True,
+    idft: Array | None = None,
+) -> Array:
+    """Inverse STFT with the inverse DFT + synthesis window as one GEMM."""
+    win = window.shape[0]
+    if idft is None:
+        idft = jnp.asarray(idft_matrices(win, np.asarray(window)))
+    B, T, F, _ = spec.shape
+    flat = jnp.concatenate([spec[..., 0], spec[..., 1]], axis=-1)  # [B,T,2F]
+    frames = flat @ idft.astype(spec.dtype)                        # [B,T,win]
+    total = win + hop * (T - 1)
+    out = _overlap_add(frames, hop, total)
+    wss = _window_sumsquare(np.asarray(window), T, hop)
+    wss = jnp.asarray(np.where(wss > 1e-11, wss, 1.0), dtype=out.dtype)
+    out = out / wss
+    if center:
+        return out[:, win // 2: total - win // 2]
+    return out
+
+
 def istft(
     spec: Array, window: Array, hop: int, *, center: bool = True
 ) -> Array:

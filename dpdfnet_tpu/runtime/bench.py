@@ -72,7 +72,7 @@ def run_bench(
     wall = float(np.median(times))
     xrt = batch * seconds / wall
     result = {
-        "metric": f"xRT_per_chip_{model}_offline_b{batch}",
+        "metric": f"xRT_per_chip_{model}_offline_b{batch}_{precision}",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / baseline_xrt, 4),
