@@ -113,6 +113,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--reps", type=int, default=5)
     p_bench.add_argument("--random-weights", action="store_true",
                          help="Use random weights (no download needed).")
+    p_bench.add_argument("--streaming", action="store_true",
+                         help="Benchmark streaming hop latency / capacity "
+                              "instead of offline throughput.")
+    p_bench.add_argument("--streams", type=int, default=64,
+                         help="Concurrent streams for --streaming.")
 
     return parser
 
@@ -254,11 +259,14 @@ def _run_download(args: argparse.Namespace) -> int:
 
 
 def _run_bench(args: argparse.Namespace) -> int:
-    from .runtime.bench import run_bench
+    from .runtime.bench import run_bench, run_stream_bench
 
-    result = run_bench(model=args.model, batch=args.batch,
-                       seconds=args.seconds, reps=args.reps,
-                       random_weights=args.random_weights)
+    if args.streaming:
+        result = run_stream_bench(model=args.model, streams=args.streams)
+    else:
+        result = run_bench(model=args.model, batch=args.batch,
+                           seconds=args.seconds, reps=args.reps,
+                           random_weights=args.random_weights)
     print(result)
     return 0
 

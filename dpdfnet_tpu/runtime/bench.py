@@ -20,6 +20,56 @@ import time
 import numpy as np
 
 
+def run_stream_bench(
+    model: str = "dpdfnet8_48khz_hr",
+    streams: int = 64,
+    seconds: float = 2.0,
+    precision: str = "high",
+) -> str:
+    """Streaming serving benchmark: per-hop latency for a batch of live
+    streams and the implied real-time stream capacity per chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import get_config
+    from ..models.params import init_params
+    from ..runtime.engine import Engine
+
+    cfg = get_config(model)
+    engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
+    st = engine.init_stream_state(batch=streams)
+    rng = np.random.default_rng(0)
+    hop_s = cfg.hop / cfg.sample_rate
+    n_hops = max(16, int(seconds / hop_s))
+    frames = jnp.asarray(
+        rng.normal(size=(streams, n_hops, cfg.win_len)).astype(np.float32)
+        * 0.05)
+
+    # steady-state device cost per hop: n_hops processed per-frame (the
+    # streaming program) inside ONE dispatch — host dispatch overhead is
+    # deployment-specific and excluded, like the offline bench's staging.
+    run = engine._stream_fn(streams, n_hops)
+    y, st = run(engine.params, frames, st)
+    float(jnp.sum(y))                                   # compile + warm
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y, st = run(engine.params, frames, st)
+        float(jnp.sum(y))
+        lat.append((time.perf_counter() - t0) / n_hops)
+    per_hop = float(np.median(lat)) * 1e3
+    budget_ms = hop_s * 1e3
+    capacity = int(streams * budget_ms / per_hop) if per_hop > 0 else 0
+    result = {
+        "metric": f"stream_hop_device_ms_{model}_s{streams}_{precision}",
+        "value": round(per_hop, 3),
+        "unit": "ms_per_hop",
+        "vs_baseline": round(budget_ms / per_hop, 3),
+        "realtime_stream_capacity_est": capacity,
+    }
+    return json.dumps(result)
+
+
 def run_bench(
     model: str = "dpdfnet8_48khz_hr",
     batch: int = 32,

@@ -154,7 +154,13 @@ class Engine:
         value = audio_lib.validate_attn_limit_db(attn_limit_db)
         alpha = np.float32(0.0 if value is None else 10.0 ** (-value / 20.0))
 
-        S_pad = -(-max(S, 1) // self.bucket_samples) * self.bucket_samples
+        # Geometric length buckets (x1.5 ladder above 1 bucket) so a corpus
+        # of varied utterance lengths compiles O(log) programs instead of one
+        # per second of length.  Padding is causally harmless (tail output
+        # is discarded).
+        S_pad = self.bucket_samples
+        while S_pad < max(S, 1):
+            S_pad = -(-(S_pad * 3 // 2) // self.bucket_samples) * self.bucket_samples
         xp = np.zeros((B, S_pad), np.float32)
         xp[:, :S] = x
         run = self._offline_fn(B, S_pad)

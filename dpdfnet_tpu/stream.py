@@ -116,6 +116,35 @@ class StreamEnhancer:
             return ensure_sample_rate(committed, self._model_sr, sr_in)
         return committed.astype(np.float32)
 
+    # ------------------------------------------------------------------ #
+    # Mid-stream checkpoint / resume (SURVEY.md §5: the runtime state is a
+    # pure value — save/restore continues the stream exactly).  The model
+    # state is serialized in the reference's flat layout, so a stream can
+    # even be handed over to/from the reference's ONNX runtime.
+    # ------------------------------------------------------------------ #
+
+    def save_state(self) -> dict:
+        """Snapshot the complete stream state (JSON-free, numpy arrays)."""
+        from .models import state as state_lib
+
+        return {
+            "model_state": state_lib.flatten_state(self._engine.cfg, self._state),
+            "in_buf": self._in_buf.copy(),
+            "ola_tail": self._ola_tail.copy(),
+            "input_sr": self._input_sr,
+        }
+
+    def load_state(self, snapshot: dict) -> None:
+        """Restore a snapshot from :meth:`save_state`; the stream continues
+        bit-exactly from where it was saved."""
+        from .models import state as state_lib
+
+        self._state = state_lib.unflatten_state(
+            self._engine.cfg, snapshot["model_state"], batch=1)
+        self._in_buf = np.asarray(snapshot["in_buf"], np.float32).copy()
+        self._ola_tail = np.asarray(snapshot["ola_tail"], np.float32).copy()
+        self._input_sr = snapshot["input_sr"]
+
     def flush(self) -> np.ndarray:
         """Drain the final partial window by zero-padding to a full frame.
 

@@ -432,3 +432,22 @@ def test_resample_identity_and_ratio():
     assert abs(y.shape[0] - 48000) <= 1
     z = audio.resample(y, 48000, 16000)
     np.testing.assert_allclose(z[200:-200], x[200:-200], atol=5e-3)
+
+
+def test_engine_geometric_length_buckets():
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.runtime.engine import Engine
+
+    cfg = get_config("dpdfnet2")
+    eng = Engine(cfg, init_params(cfg, seed=0))
+    rng = np.random.default_rng(0)
+    # different lengths land in few buckets; outputs keep caller lengths
+    lengths = [3000, 15000, 17000, 23000, 24000]
+    for n in lengths:
+        x = (0.1 * rng.normal(size=n)).astype(np.float32)
+        y = eng.enhance_waveforms(x)
+        assert y.shape == (n,)
+        assert np.isfinite(y).all()
+    # geometric ladder: programs compiled << distinct lengths
+    assert len(eng._offline_cache) <= 3

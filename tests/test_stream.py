@@ -130,3 +130,29 @@ def test_offline_engine_matches_streaming_math(engine, signal):
     assert denom > 0
     corr = float(np.dot(off_seg, st_seg) / denom)
     assert corr > 0.99, corr
+
+
+def test_save_load_state_resumes_bit_exact(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    out_a1 = se.process(signal[:2000])
+    snap = se.save_state()
+    out_a2 = se.process(signal[2000:])
+
+    se2 = StreamEnhancer(engine=engine)
+    se2.load_state(snap)
+    out_b2 = se2.process(signal[2000:])
+    np.testing.assert_array_equal(out_a2, out_b2)
+
+
+def test_save_state_is_a_deep_snapshot(engine, signal):
+    se = StreamEnhancer(engine=engine)
+    se.process(signal[:2000])
+    snap = se.save_state()
+    se.process(signal[2000:4000])          # keep mutating the live stream
+    se2 = StreamEnhancer(engine=engine)
+    se2.load_state(snap)
+    se3 = StreamEnhancer(engine=engine)
+    se3.process(signal[:2000])
+    a = se2.process(signal[2000:4000])
+    b = se3.process(signal[2000:4000])
+    np.testing.assert_array_equal(a, b)
