@@ -48,6 +48,16 @@ def _to_db(x: Array) -> Array:
     return 10.0 * jnp.log10(x + _DB_EPS)
 
 
+def _safe_sqrt(p: Array) -> Array:
+    """sqrt with a zero (not inf) gradient at p == 0.
+
+    Forward-identical to ``jnp.sqrt`` for p >= 0; keeps training stable on
+    zero-padded frames without perturbing inference numerics.
+    """
+    p_safe = jnp.where(p > 0, p, 1.0)
+    return jnp.where(p > 0, jnp.sqrt(p_safe), 0.0)
+
+
 # --------------------------------------------------------------------------- #
 # Feature extraction (ERB / complex-spec features + EMA norms)
 # --------------------------------------------------------------------------- #
@@ -59,7 +69,7 @@ def _features(
     power = jnp.square(spec[..., 0]) + jnp.square(spec[..., 1])     # [B,T,F]
     if cfg.hr:
         # 48 kHz: full-band magnitude in dB (onnx_model/dpdfnet_48khz_hr.py:903)
-        feat_erb_raw = _to_db(jnp.sqrt(power))
+        feat_erb_raw = _to_db(_safe_sqrt(power))
     else:
         # 16 kHz: ERB-banded power in dB (onnx_model/dpdfnet.py:831-833)
         feat_erb_raw = _to_db(power @ params["erb_fb"].astype(spec.dtype))
@@ -72,7 +82,7 @@ def _features(
     feat_erb = (feat_erb_raw - mu) / 40.0
 
     feat_spec_raw = spec[:, :, : cfg.nb_df, :]
-    mag = jnp.sqrt(
+    mag = _safe_sqrt(
         jnp.square(feat_spec_raw[..., 0]) + jnp.square(feat_spec_raw[..., 1])
     )
     s = ema(mag, state["spec_norm"], cfg.alpha)

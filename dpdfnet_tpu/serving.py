@@ -1,0 +1,189 @@
+"""Multi-stream serving: many concurrent real-time streams on one device.
+
+The reference serves concurrency with one thread + ONNX session per file
+(`/root/reference/package/src/dpdfnet/cli.py:252-311`).  The TPU-native
+shape of that workload is a single batched streaming program whose state
+tensor carries all live sessions: one device call per hop advances every
+stream.  On one v5e chip this sustains hundreds of concurrent real-time
+48 kHz streams (see ``runtime.bench.run_stream_bench``).
+
+``MultiStreamEnhancer`` manages a fixed pool of slots.  Each slot behaves
+like an independent ``StreamEnhancer`` (same buffering, COLA overlap-add,
+flush/reset semantics); slots can be acquired/reset independently while the
+device state stays batched.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .zoo import DEFAULT_MODEL
+
+
+class MultiStreamEnhancer:
+    """A pool of ``capacity`` concurrent enhancement streams.
+
+    Usage:
+        pool = MultiStreamEnhancer(capacity=64, model="dpdfnet2")
+        sid = pool.open()
+        out = pool.process(sid, chunk)
+        ...
+        tail = pool.flush(sid); pool.close(sid)
+
+    ``process_many`` advances several streams with one device call per hop
+    bucket — the throughput path for a serving frontend that aggregates
+    chunks across connections.
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        model: str = DEFAULT_MODEL,
+        checkpoint_path=None,
+        verbose: bool = False,
+        engine=None,
+    ) -> None:
+        if engine is None:
+            from .api import _get_engine
+
+            engine = _get_engine(model, checkpoint_path, verbose)
+        self._engine = engine
+        cfg = engine.cfg
+        self.capacity = int(capacity)
+        self._sr = cfg.sample_rate
+        self._win = cfg.win_len
+        self._hop = cfg.hop
+        self._state = engine.init_stream_state(batch=self.capacity)
+        self._in_buf: List[np.ndarray] = [
+            np.zeros(0, np.float32) for _ in range(self.capacity)]
+        self._ola_tail = np.zeros((self.capacity, self._win - self._hop),
+                                  np.float32)
+        self._open = [False] * self.capacity
+
+    # ------------------------------------------------------------------ #
+    # slot management
+    # ------------------------------------------------------------------ #
+
+    def open(self) -> int:
+        """Acquire a free slot; returns its stream id."""
+        for sid in range(self.capacity):
+            if not self._open[sid]:
+                self._open[sid] = True
+                self._reset_slot(sid)
+                return sid
+        raise RuntimeError(f"all {self.capacity} stream slots are busy")
+
+    def close(self, sid: int) -> None:
+        self._check(sid)
+        self._open[sid] = False
+
+    def reset(self, sid: int) -> None:
+        self._check(sid)
+        self._reset_slot(sid)
+
+    def _reset_slot(self, sid: int) -> None:
+        import jax.numpy as jnp
+
+        from .models import state as state_lib
+
+        fresh = state_lib.init_state(self._engine.cfg, batch=1)
+
+        def put(cur, new):
+            return cur.at[sid].set(new[0])
+
+        import jax
+
+        self._state = jax.tree_util.tree_map(put, self._state, fresh)
+        self._in_buf[sid] = np.zeros(0, np.float32)
+        self._ola_tail[sid] = 0.0
+
+    def _check(self, sid: int) -> None:
+        if not (0 <= sid < self.capacity) or not self._open[sid]:
+            raise ValueError(f"stream id {sid} is not open")
+
+    # ------------------------------------------------------------------ #
+    # processing
+    # ------------------------------------------------------------------ #
+
+    def process(self, sid: int, chunk: np.ndarray) -> np.ndarray:
+        """Enhance a chunk on one stream (model sample rate)."""
+        return self.process_many({sid: chunk})[sid]
+
+    def process_many(
+        self, chunks: Dict[int, np.ndarray]
+    ) -> Dict[int, np.ndarray]:
+        """Advance several streams; one device call per hop count bucket.
+
+        Streams with insufficient buffered audio contribute zero frames and
+        return empty arrays.  All frames of all streams in the same call run
+        through one batched program (padded to the max frame count).
+        """
+        for sid, chunk in chunks.items():
+            self._check(sid)
+            c = np.asarray(chunk, np.float32)
+            if c.ndim == 2:
+                c = c.mean(axis=1)
+            self._in_buf[sid] = np.concatenate([self._in_buf[sid], c])
+
+        import jax
+        import jax.numpy as jnp
+
+        counts = {
+            sid: max(0, (len(self._in_buf[sid]) - self._win) // self._hop + 1)
+            for sid in chunks
+        }
+        out: Dict[int, np.ndarray] = {
+            sid: np.zeros(0, np.float32) for sid in chunks}
+
+        # Group streams by frame count; each group advances together in one
+        # batched call (states gathered/scattered on device).  In steady
+        # serving every live stream has the same cadence -> one group.
+        groups: Dict[int, List[int]] = {}
+        for sid, n in counts.items():
+            if n > 0:
+                groups.setdefault(n, []).append(sid)
+
+        for n, sids in sorted(groups.items()):
+            g = len(sids)
+            # Always run the full-capacity batch: one compiled program for
+            # the pool's lifetime, and per-slot results independent of which
+            # other slots are active (row-deterministic at fixed batch).
+            gp = self.capacity
+            idx = np.asarray(sids + [sids[0]] * (gp - g))
+            frames = np.zeros((gp, n, self._win), np.float32)
+            fidx = (np.arange(n)[:, None] * self._hop
+                    + np.arange(self._win)[None, :])
+            for row, sid in enumerate(sids):
+                frames[row] = self._in_buf[sid][fidx]
+
+            jidx = jnp.asarray(idx)
+            sub = jax.tree_util.tree_map(lambda a: a[jidx], self._state)
+            y, sub_new = self._engine.process_frames(frames, sub)
+
+            rows = jnp.asarray(sids)
+            take = jnp.asarray(np.arange(g))
+
+            def scatter(cur, new_leaf):
+                return cur.at[rows].set(new_leaf[take])
+
+            self._state = jax.tree_util.tree_map(scatter, self._state, sub_new)
+
+            for row, sid in enumerate(sids):
+                yf = np.asarray(y[row])                  # [n, win]
+                tails = np.concatenate(
+                    [self._ola_tail[sid][None], yf[:-1, self._hop:]], axis=0)
+                out[sid] = (yf[:, : self._hop] + tails).reshape(-1)
+                self._ola_tail[sid] = yf[-1, self._hop:]
+                self._in_buf[sid] = self._in_buf[sid][n * self._hop:]
+        return out
+
+    def flush(self, sid: int) -> np.ndarray:
+        """Drain the final partial window of one stream (<= one hop)."""
+        self._check(sid)
+        if self._in_buf[sid].size == 0:
+            return np.zeros(0, np.float32)
+        pad = np.zeros(self._win - len(self._in_buf[sid]), np.float32)
+        out = self.process(sid, pad)
+        return out[: min(self._hop, len(out))].astype(np.float32)

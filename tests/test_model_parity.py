@@ -76,7 +76,8 @@ def _rand_spec(cfg, T, seed=0, batch=1):
 
 @pytest.mark.parametrize(
     "name,T",
-    [("baseline", 24), ("dpdfnet2", 24), ("dpdfnet2_48khz_hr", 12)],
+    [("baseline", 24), ("dpdfnet2", 24), ("dpdfnet8", 10),
+     ("dpdfnet2_48khz_hr", 12), ("dpdfnet8_48khz_hr", 6)],
 )
 def test_forward_matches_reference_streaming(name, T):
     cfg = get_config(name)
