@@ -118,6 +118,9 @@ def _build_parser() -> argparse.ArgumentParser:
                               "instead of offline throughput.")
     p_bench.add_argument("--streams", type=int, default=64,
                          help="Concurrent streams for --streaming.")
+    p_bench.add_argument("--profile", type=Path, default=None, metavar="DIR",
+                         help="Capture a jax profiler trace of the benched "
+                              "program into DIR (view with xprof/tensorboard).")
 
     return parser
 
@@ -180,8 +183,11 @@ def _run_enhance_dir(args: argparse.Namespace) -> int:
     if not input_dir.is_dir():
         raise FileNotFoundError(f"Input directory not found: {input_dir}")
     audio_files = sorted(
-        p for p in input_dir.iterdir()
-        if p.is_file() and p.suffix.lower() in SUPPORTED_EXTENSIONS)
+        (p for p in input_dir.iterdir()
+         if p.is_file() and p.suffix.lower() in SUPPORTED_EXTENSIONS),
+        key=lambda p: (p.stat().st_size, p.name))
+    # size-sorted so each device batch groups similar durations (less padding
+    # waste and fewer length-bucket compiles)
     if not audio_files:
         supported = ", ".join(sorted(SUPPORTED_EXTENSIONS))
         raise FileNotFoundError(
@@ -261,13 +267,24 @@ def _run_download(args: argparse.Namespace) -> int:
 def _run_bench(args: argparse.Namespace) -> int:
     from .runtime.bench import run_bench, run_stream_bench
 
-    if args.streaming:
-        result = run_stream_bench(model=args.model, streams=args.streams)
-    else:
-        result = run_bench(model=args.model, batch=args.batch,
-                           seconds=args.seconds, reps=args.reps,
-                           random_weights=args.random_weights)
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile is not None:
+        import jax
+
+        args.profile.mkdir(parents=True, exist_ok=True)
+        profile_cm = jax.profiler.trace(str(args.profile))
+    with profile_cm:
+        if args.streaming:
+            result = run_stream_bench(model=args.model, streams=args.streams)
+        else:
+            result = run_bench(model=args.model, batch=args.batch,
+                               seconds=args.seconds, reps=args.reps,
+                               random_weights=args.random_weights)
     print(result)
+    if args.profile is not None:
+        print(f"profiler trace written to: {args.profile}", file=sys.stderr)
     return 0
 
 
