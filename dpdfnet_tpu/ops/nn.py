@@ -91,10 +91,12 @@ def conv_block(
         new_tail = x[:, -(kt - 1):]
     fpad = kf // 2
     groups = x.shape[-1] // p["w"].shape[2]
-    # NOTE: explicit im2col (slice-stack + GEMM) variants were benchmarked
-    # against XLA's native conv lowering on v5e and lost — the materialised
-    # patch tensors triple activation traffic (see _conv_patches_gemm, kept
-    # for experimentation).
+    # NOTE: alternatives benchmarked on v5e and rejected: explicit im2col
+    # (slice-stack + GEMM) for the strided convs, and a shifted
+    # channel-reduce for the C_out=1 mask head — both measured slower than
+    # XLA's native conv lowering despite its visible layout copies (the
+    # alternatives' extra activation traffic costs more; see
+    # _conv_patches_gemm kept for experimentation).
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
