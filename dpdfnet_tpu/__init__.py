@@ -45,4 +45,9 @@ def __getattr__(name: str):
         from .stream import StreamEnhancer
 
         return StreamEnhancer
+    if name in {"serving", "train", "metrics", "export", "zoo", "config",
+                "audio", "audio_io", "demo"}:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'dpdfnet_tpu' has no attribute {name!r}")
