@@ -48,6 +48,8 @@ class ModelConfig:
     lsnr_max: float = 35.0
     min_nb_freqs: int = 1           # min rfft bins per ERB band
     upsample: str = "subpixel"      # decoder upsampling: subpixel | transpose
+    mask_method: str = "before_df"  # before_df | separate | after_df
+    emb_gru_skip: str = "none"      # none | identity | groupedlinear
 
     # ------------------------------------------------------------------ #
     # Derived shapes

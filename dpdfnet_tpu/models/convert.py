@@ -219,13 +219,16 @@ def _dprnn(sd: _SD, prefix: str, blocks: int):
     return out
 
 
-def _squeezed(sd: _SD, prefix: str, layers: int, groups: int, has_out: bool) -> Dict:
+def _squeezed(sd: _SD, prefix: str, layers: int, groups: int, has_out: bool,
+              skip: str = "none") -> Dict:
     p = {
         "lin_in": _gl(sd, f"{prefix}.linear_in.0", groups),
         "grus": [_gru_layer(sd, f"{prefix}.gru", k) for k in range(layers)],
     }
     if has_out:
         p["lin_out"] = _gl(sd, f"{prefix}.linear_out.0", groups)
+    if skip == "groupedlinear":
+        p["skip"] = _gl(sd, f"{prefix}.gru_skip", groups)
     return p
 
 
@@ -252,14 +255,16 @@ def convert_state_dict(
         "dprnn_erb": _dprnn(sd, "enc.dprnn_erb", cfg.dprnn_blocks),
         "dprnn_df": _dprnn(sd, "enc.dprnn_df", cfg.dprnn_blocks),
         "df_fc_emb": _gl(sd, "enc.df_fc_emb.0", elg),
-        "emb_gru": _squeezed(sd, "enc.emb_gru", 1, lg, True),
+        "emb_gru": _squeezed(sd, "enc.emb_gru", 1, lg, True,
+                             skip=cfg.emb_gru_skip),
         "lsnr": _lin(sd, "enc.lsnr_fc.0"),
     }
     if cfg.hr:
         enc["erb_fc_emb"] = _gl(sd, "enc.erb_fc_emb.0", elg)
 
     erb_dec = {
-        "emb_gru": _squeezed(sd, "erb_dec.emb_gru", 2, lg, True),
+        "emb_gru": _squeezed(sd, "erb_dec.emb_gru", 2, lg, True,
+                             skip=cfg.emb_gru_skip),
         "conv3p": _plain_conv(sd, "erb_dec.conv3p", has_pad=False, has_pw=False),
         "conv2p": _plain_conv(sd, "erb_dec.conv2p", has_pad=False, has_pw=False),
         "conv1p": _plain_conv(sd, "erb_dec.conv1p", has_pad=False, has_pw=False),

@@ -132,7 +132,7 @@ def _dprnn(
 # --------------------------------------------------------------------------- #
 
 def _squeezed_gru(
-    p: Params, x: Array, hs: List[Array]
+    p: Params, x: Array, hs: List[Array], skip: str = "none"
 ) -> Tuple[Array, List[Array]]:
     h = onn.grouped_linear(p["lin_in"], x, act="relu")
     new_hs: List[Array] = []
@@ -141,6 +141,17 @@ def _squeezed_gru(
         new_hs.append(h_last)
     if "lin_out" in p:
         h = onn.grouped_linear(p["lin_out"], h, act="relu")
+    # optional gru_skip applied to the raw input after linear_out
+    # (reference SqueezedGRU_S — onnx_model/layers.py:1182-1184)
+    if skip == "identity":
+        h = h + x
+    elif skip == "groupedlinear":
+        # reference quirk: the loop-form GroupedLinear slices per group and
+        # silently consumes only its declared input size — the encoder's
+        # skip sees just the first half of the concatenated embedding
+        # (model/modules.py:929-933 with input_size=emb_out_dim)
+        g, ig, _ = p["skip"]["w"].shape
+        h = h + onn.grouped_linear(p["skip"], x[..., : g * ig])
     return h, new_hs
 
 
@@ -191,7 +202,8 @@ def _encoder(
     if cfg.hr:
         emb = onn.grouped_linear(p["erb_fc_emb"], emb, act="relu")
     emb = jnp.concatenate([emb, cemb], axis=-1)
-    emb, new_enc_gru = _squeezed_gru(p["emb_gru"], emb, state["enc_gru"])
+    emb, new_enc_gru = _squeezed_gru(p["emb_gru"], emb, state["enc_gru"],
+                                    skip=cfg.emb_gru_skip)
 
     lsnr = jax.nn.sigmoid(onn.linear(p["lsnr"], emb))[..., 0]
     lsnr = lsnr * (cfg.lsnr_max - cfg.lsnr_min) + cfg.lsnr_min
@@ -220,7 +232,7 @@ def _erb_decoder(
     st3, st2, st1 = cfg.dec_fstrides
     C = cfg.conv_ch
 
-    e, new_hs = _squeezed_gru(p["emb_gru"], emb, hs)
+    e, new_hs = _squeezed_gru(p["emb_gru"], emb, hs, skip=cfg.emb_gru_skip)
     if cfg.hr:
         e = onn.grouped_linear(p["erb_fc_emb"], e, act="relu")
     B, T = e.shape[:2]
@@ -276,29 +288,15 @@ def _df_decoder(
 # Mask application + deep filtering (delay lines as time shifts)
 # --------------------------------------------------------------------------- #
 
-def _mask_and_df(
-    params: Params, cfg: ModelConfig, spec: Array, m: Array, coefs: Array,
-    state: State,
-) -> Tuple[Array, State]:
-    B, T, F, _ = spec.shape
+def _apply_df(cfg: ModelConfig, dfin: Array, coefs: Array, state: State):
+    """5-frame DF window over ``dfin`` x 2-frame-delayed coefs
+    (onnx_model/multiframe.py:200-232).  Returns (lower, middle_frame,
+    state updates); ``middle_frame`` is dfin[t-2] (the ring's centre slot,
+    used for the upper bins)."""
+    T = dfin.shape[1]
     nb, O = cfg.nb_df, cfg.df_order
-
-    if cfg.hr:
-        mask = m                                                  # per-bin
-    else:
-        mask = m @ params["erb_inv_fb"].astype(m.dtype)           # [B,T,F]
-
-    # Mask the 2-frame-delayed spectrum with the current mask (lookahead):
-    # onnx_model/layers.py:414-445.
-    spec_ext = jnp.concatenate([state["mask_spec_tail"], spec], axis=1)
-    masked = spec_ext[:, :T] * mask[..., None]
-    new_mask_tail = spec_ext[:, -2:]
-
-    # Deep filter: 5-frame window of masked spec x 2-frame-delayed coefs
-    # (onnx_model/multiframe.py:200-232).
-    y_ext = jnp.concatenate([state["df_spec_tail"], masked], axis=1)  # [B,T+4,F,2]
+    y_ext = jnp.concatenate([state["df_spec_tail"], dfin], axis=1)
     win = jnp.stack([y_ext[:, n: n + T, :nb] for n in range(O)], axis=2)
-    # win: [B,T,O,nb,2]
     coefs_ext = jnp.concatenate([state["df_coefs_tail"], coefs], axis=1)
     cd = jnp.swapaxes(coefs_ext[:, :T], 2, 3)                     # [B,T,O,nb,2]
 
@@ -307,15 +305,53 @@ def _mask_and_df(
     out_r = jnp.sum(wr * cr - wi * ci, axis=2)
     out_i = jnp.sum(wr * ci + wi * cr, axis=2)
     lower = jnp.stack([out_r, out_i], axis=-1)                    # [B,T,nb,2]
-
-    upper = y_ext[:, 2: 2 + T, nb:]                               # masked[t-2]
-    spec_e = jnp.concatenate([lower, upper], axis=2)
-
+    middle = y_ext[:, 2: 2 + T]                                   # dfin[t-2]
     updates = {
-        "mask_spec_tail": new_mask_tail,
         "df_spec_tail": y_ext[:, -4:],
         "df_coefs_tail": coefs_ext[:, -2:],
     }
+    return lower, middle, updates
+
+
+def _mask_and_df(
+    params: Params, cfg: ModelConfig, spec: Array, m: Array, coefs: Array,
+    state: State,
+) -> Tuple[Array, State]:
+    """Gain-mask + deep-filter combination per ``cfg.mask_method``
+    (onnx_model/dpdfnet.py:783-800; shipped checkpoints use 'before_df')."""
+    B, T, F, _ = spec.shape
+    nb = cfg.nb_df
+
+    if cfg.hr:
+        mask = m                                                  # per-bin
+    else:
+        mask = m @ params["erb_inv_fb"].astype(m.dtype)           # [B,T,F]
+
+    def delayed_masked(x):
+        # mask the 2-frame-delayed input with the current mask (lookahead):
+        # onnx_model/layers.py:414-445
+        ext = jnp.concatenate([state["mask_spec_tail"], x], axis=1)
+        return ext[:, :T] * mask[..., None], ext[:, -2:]
+
+    if cfg.mask_method == "before_df":
+        masked, new_mask_tail = delayed_masked(spec)
+        lower, middle, updates = _apply_df(cfg, masked, coefs, state)
+        spec_e = jnp.concatenate([lower, middle[:, :, nb:]], axis=2)
+    elif cfg.mask_method == "separate":
+        # DF over the RAW spec ring; upper bins from the masked delayed spec
+        masked, new_mask_tail = delayed_masked(spec)
+        lower, _middle, updates = _apply_df(cfg, spec, coefs, state)
+        spec_e = jnp.concatenate([lower, masked[:, :, nb:]], axis=2)
+    elif cfg.mask_method == "after_df":
+        # DF over the raw spec; the mask's delay line then holds the DF
+        # output (a further 2-frame delay, as in the reference)
+        lower, middle, updates = _apply_df(cfg, spec, coefs, state)
+        dfed = jnp.concatenate([lower, middle[:, :, nb:]], axis=2)
+        spec_e, new_mask_tail = delayed_masked(dfed)
+    else:
+        raise ValueError(f"unknown mask_method: {cfg.mask_method!r}")
+
+    updates["mask_spec_tail"] = new_mask_tail
     return spec_e, updates
 
 

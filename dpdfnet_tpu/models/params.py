@@ -83,11 +83,14 @@ def _dprnn_block(kg, c):
     }
 
 
-def _squeezed(kg, i, h, o, layers, g):
+def _squeezed(kg, i, h, o, layers, g, skip="none"):
     p = {"lin_in": _gl(kg, i, h, g),
          "grus": [_gru(kg, h, h) for _ in range(layers)]}
     if o is not None:
         p["lin_out"] = _gl(kg, h, o, g)
+    if skip == "groupedlinear":
+        o_eff = o if o is not None else h
+        p["skip"] = _gl(kg, o_eff, o_eff, g)   # reference declares emb_out_dim
     return p
 
 
@@ -116,14 +119,17 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
         "dprnn_erb": [_dprnn_block(kg, C) for _ in range(cfg.dprnn_blocks)],
         "dprnn_df": [_dprnn_block(kg, C) for _ in range(cfg.dprnn_blocks)],
         "df_fc_emb": _gl(kg, C * nb // 2, emb_in, elg),
-        "emb_gru": _squeezed(kg, 2 * emb_in, H, emb_out, 1, lg),
+        "emb_gru": _squeezed(kg, 2 * emb_in, H, emb_out, 1, lg,
+                             skip=cfg.emb_gru_skip),
         "lsnr": _lin(kg, emb_out, 1),
     }
     if cfg.hr:
         enc["erb_fc_emb"] = _gl(kg, C * cfg.dprnn_erb_feat, emb_in, elg)
 
     erb_dec = {
-        "emb_gru": _squeezed(kg, emb_out, H, emb_out if not cfg.hr else cfg.emb_dim, 2, lg),
+        "emb_gru": _squeezed(kg, emb_out, H,
+                             emb_out if not cfg.hr else cfg.emb_dim, 2, lg,
+                             skip=cfg.emb_gru_skip),
         # pathway 1x1 convs are depthwise (see models/dpdfnet.py pconv)
         "conv3p": _conv(kg, 1, 1, 1, C),
         "conv2p": _conv(kg, 1, 1, 1, C),

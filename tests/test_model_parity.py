@@ -44,12 +44,14 @@ def _build_reference(cfg):
             from onnx_model.dpdfnet_48khz_hr import DPDFNet48HR
 
             model = DPDFNet48HR(dprnn_num_blocks=cfg.dprnn_blocks,
-                                upsample_conv_type=cfg.upsample)
+                                upsample_conv_type=cfg.upsample,
+                                mask_method=cfg.mask_method)
         else:
             from onnx_model.dpdfnet import DPDFNet
 
             model = DPDFNet(dprnn_num_blocks=cfg.dprnn_blocks,
-                            upsample_conv_type=cfg.upsample)
+                            upsample_conv_type=cfg.upsample,
+                            mask_method=cfg.mask_method)
     model.eval()
     return model
 
@@ -89,6 +91,15 @@ def test_forward_matches_reference_transpose_upsampling():
     import dataclasses
 
     cfg = dataclasses.replace(get_config("dpdfnet2"), upsample="transpose")
+    _check_parity(cfg, 16)
+
+
+@pytest.mark.parametrize("method", ["separate", "after_df"])
+def test_forward_matches_reference_mask_methods(method):
+    """The non-default mask/DF combination variants also match."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("dpdfnet2"), mask_method=method)
     _check_parity(cfg, 16)
 
 
@@ -174,3 +185,32 @@ def test_reference_flat_state_interchange(name):
     np.testing.assert_allclose(
         np.asarray(out), ref_out[:, 8:], atol=2e-4, rtol=0
     )
+
+
+@pytest.mark.parametrize("skip", ["groupedlinear"])
+def test_forward_matches_reference_emb_gru_skip(skip):
+    """Non-default embedding-GRU skip connections also match."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("dpdfnet2"), emb_gru_skip=skip)
+    add_reference_paths()
+    import sys
+    import types
+
+    sys.modules.setdefault("soundfile", types.ModuleType("soundfile"))
+    import torch
+
+    torch.manual_seed(99)
+    with contextlib.redirect_stdout(io.StringIO()):
+        from onnx_model.dpdfnet import DPDFNet
+
+        model = DPDFNet(dprnn_num_blocks=cfg.dprnn_blocks,
+                        emb_gru_skip_enc=skip)
+    model.eval()
+    spec_np = _rand_spec(cfg, 12)
+    ref_out, _ = _run_reference(model, spec_np)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert.convert_state_dict(sd, cfg)
+    st = state_lib.init_state(cfg, batch=1)
+    out, _, _ = forward_spec(params, cfg, jnp.asarray(spec_np), st)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=0)
