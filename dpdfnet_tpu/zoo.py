@@ -284,8 +284,8 @@ def _ensure_downloaded(
             detail = f"HTTP {exc.code}" + (f" ({exc.reason})" if exc.reason else "")
             raise RuntimeError(
                 f"Failed to download '{info.checkpoint_filename}' from '{url}'. "
-                f"{detail}. Confirm access to Hugging Face and retry. "
-                f"You can also pre-download using: dpdfnet-tpu download {info.name}"
+                f"{detail}. Check that the Hugging Face host is reachable, then retry. "
+                f"Pre-fetching with `dpdfnet-tpu download {info.name}` is an alternative."
             ) from exc
         except URLError as exc:
             raise RuntimeError(
@@ -308,7 +308,7 @@ def _ensure_downloaded(
         if not _is_valid_file(ckpt_path):
             raise RuntimeError(
                 f"Downloaded checkpoint for model '{info.name}' is invalid in "
-                f"{destination_dir}. Please retry after removing the file."
+                f"{destination_dir}. Remove the file and retry the download."
             )
 
 
