@@ -56,11 +56,12 @@ def _get_engine(
     model: str,
     checkpoint_path: Optional[Union[str, Path]] = None,
     verbose: bool = False,
+    quality: str = "high",
 ):
-    """Build (and cache) a compiled Engine for a model."""
-    from .runtime.engine import Engine
+    """Build (and cache) a compiled Engine for a model + quality tier."""
+    from .runtime.engine import engine_from_quality
 
-    key = f"{model}:{checkpoint_path}"
+    key = f"{model}:{checkpoint_path}:{quality}"
     with _ENGINE_LOCK:
         eng = _ENGINE_CACHE.get(key)
         if eng is not None:
@@ -70,7 +71,7 @@ def _get_engine(
             auto_download=True, verbose=verbose,
         )
         params = load_model_params(resolved)
-        eng = Engine(resolved.cfg, params)
+        eng = engine_from_quality(resolved.cfg, params, quality)
         _ENGINE_CACHE[key] = eng
         return eng
 
@@ -82,15 +83,21 @@ def enhance(
     model: str = DEFAULT_MODEL,
     checkpoint_path: Optional[Union[str, Path]] = None,
     attn_limit_db: Optional[float] = None,
+    quality: str = "high",
     verbose: bool = False,
     progress_callback: Optional[Callable[[int, int], None]] = None,
 ) -> np.ndarray:
-    """Enhance one utterance; returns float32 audio at the input sample rate."""
+    """Enhance one utterance; returns float32 audio at the input sample rate.
+
+    ``quality`` selects the speed/precision tier (see
+    ``runtime.engine.QUALITY_TIERS``): ``highest``/``high`` are f32-grade;
+    ``fast`` runs bf16 MXU matmuls; ``turbo`` runs bf16 end-to-end.
+    """
     from .audio import ensure_sample_rate, fit_length, to_mono
 
     waveform = to_mono(np.asarray(audio, dtype=np.float32))
     sr_in = int(sample_rate)
-    engine = _get_engine(model, checkpoint_path, verbose)
+    engine = _get_engine(model, checkpoint_path, verbose, quality)
     cfg = engine.cfg
 
     x = ensure_sample_rate(waveform, sr_in, cfg.sample_rate)
@@ -111,6 +118,7 @@ def enhance_batch(
     model: str = DEFAULT_MODEL,
     checkpoint_path: Optional[Union[str, Path]] = None,
     attn_limit_db: Optional[float] = None,
+    quality: str = "high",
     verbose: bool = False,
 ) -> List[np.ndarray]:
     """Enhance many utterances in one padded batch (the TPU throughput path)."""
@@ -121,7 +129,7 @@ def enhance_batch(
     if len(sample_rates) != len(audios):
         raise ValueError("sample_rates must match audios length")
 
-    engine = _get_engine(model, checkpoint_path, verbose)
+    engine = _get_engine(model, checkpoint_path, verbose, quality)
     cfg = engine.cfg
     monos = [to_mono(np.asarray(a, dtype=np.float32)) for a in audios]
     at_sr = [ensure_sample_rate(m, int(sr), cfg.sample_rate)
@@ -153,6 +161,7 @@ def enhance_file(
     model: str = DEFAULT_MODEL,
     checkpoint_path: Optional[Union[str, Path]] = None,
     attn_limit_db: Optional[float] = None,
+    quality: str = "high",
     verbose: bool = False,
     progress_callback: Optional[Callable[[int, int], None]] = None,
 ) -> Path:
@@ -167,7 +176,8 @@ def enhance_file(
     enhanced = enhance(
         audio=audio, sample_rate=int(sr), model=model,
         checkpoint_path=checkpoint_path, attn_limit_db=attn_limit_db,
-        verbose=verbose, progress_callback=progress_callback,
+        quality=quality, verbose=verbose,
+        progress_callback=progress_callback,
     )
     if output_path is None:
         out_path = in_path.with_name(f"{in_path.stem}_enhanced.wav")

@@ -32,6 +32,14 @@ def _add_model_resolution_args(parser: argparse.ArgumentParser) -> None:
         help="Enable verbose model-resolution/download logs.")
 
 
+def _add_quality_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--quality", default="high",
+        choices=["highest", "high", "fast", "turbo"],
+        help="Speed/precision tier: highest/high are f32-grade, fast uses "
+             "bf16 matmuls, turbo runs bf16 end-to-end.")
+
+
 def _add_attn_limit_arg(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--attn-limit-db", "--attn_limit_db", dest="attn_limit_db",
@@ -54,6 +62,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p_enh.add_argument("input", type=Path, help="Input audio file (.wav, ...).")
     p_enh.add_argument("output", type=Path, help="Output wav file path.")
     _add_attn_limit_arg(p_enh)
+    _add_quality_arg(p_enh)
     _add_model_resolution_args(p_enh)
 
     p_dir = sub.add_parser(
@@ -69,6 +78,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "--batch-size", type=int, default=8, metavar="B",
         help="Utterances per compiled device batch (default: 8).")
     _add_attn_limit_arg(p_dir)
+    _add_quality_arg(p_dir)
     _add_model_resolution_args(p_dir)
 
     p_dl = sub.add_parser(
@@ -163,7 +173,8 @@ def _run_enhance(args: argparse.Namespace) -> int:
     t0 = time.perf_counter()
     out = enhance_file(
         input_path=args.input, output_path=args.output, model=args.model,
-        attn_limit_db=args.attn_limit_db, verbose=args.verbose)
+        attn_limit_db=args.attn_limit_db, quality=args.quality,
+        verbose=args.verbose)
     dt = time.perf_counter() - t0
     print(f"Wrote enhanced audio: {out}  ({dt:.2f}s)")
     return 0
@@ -213,7 +224,7 @@ def _run_enhance_dir(args: argparse.Namespace) -> int:
             outs = enhance_batch(
                 [a for _, a, _ in good], [sr for _, _, sr in good],
                 model=args.model, attn_limit_db=args.attn_limit_db,
-                verbose=args.verbose)
+                quality=args.quality, verbose=args.verbose)
             total_audio_s += sum(a.shape[0] / sr for _, a, sr in good)
             writes = []
             for (p, _a, sr), out in zip(good, outs):

@@ -34,6 +34,30 @@ Array = jax.Array
 _STREAM_T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
+QUALITY_TIERS = {
+    # name -> (matmul precision, compute dtype)
+    "highest": ("highest", None),   # 6-pass f32 matmuls
+    "high": ("high", None),         # bf16_3x matmuls, f32-grade (default)
+    "fast": ("default", None),      # bf16 MXU matmuls (~1.4x faster)
+    "turbo": ("default", "bf16"),   # bf16 activations end-to-end (~1.8x)
+}
+
+
+def engine_from_quality(cfg, params, quality: str = "high", **kwargs):
+    """Build an Engine from a named quality tier (see QUALITY_TIERS)."""
+    import jax.numpy as jnp
+
+    try:
+        precision, dtype = QUALITY_TIERS[quality]
+    except KeyError as exc:
+        raise ValueError(
+            f"Unknown quality {quality!r}; choose from "
+            f"{sorted(QUALITY_TIERS)}") from exc
+    if dtype == "bf16":
+        kwargs.setdefault("compute_dtype", jnp.bfloat16)
+    return Engine(cfg, params, precision=precision, **kwargs)
+
+
 class Engine:
     """Holds params + compiled programs for one model configuration."""
 

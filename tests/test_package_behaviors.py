@@ -451,3 +451,38 @@ def test_engine_geometric_length_buckets():
         assert np.isfinite(y).all()
     # geometric ladder: programs compiled << distinct lengths
     assert len(eng._offline_cache) <= 3
+
+
+def test_quality_tiers_build_and_run():
+    import jax.numpy as jnp
+
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.runtime.engine import QUALITY_TIERS, engine_from_quality
+
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=0)
+    x = (0.1 * np.random.default_rng(0).normal(size=3200)).astype(np.float32)
+    for tier in QUALITY_TIERS:
+        eng = engine_from_quality(cfg, params, tier)
+        y = eng.enhance_waveforms(x)
+        assert y.shape == x.shape and np.isfinite(y).all(), tier
+    with pytest.raises(ValueError, match="quality"):
+        engine_from_quality(cfg, params, "warp9")
+
+
+def test_enhance_quality_kwarg_plumbing(monkeypatch):
+    from dpdfnet_tpu.config import get_config
+
+    seen = {}
+
+    class Eng(FakeEngine):
+        pass
+
+    def fake_get_engine(model, ckpt=None, verbose=False, quality="high"):
+        seen["quality"] = quality
+        return Eng(get_config("dpdfnet2"))
+
+    monkeypatch.setattr(api, "_get_engine", fake_get_engine)
+    api.enhance(np.zeros(1600, np.float32), 16000, quality="fast")
+    assert seen["quality"] == "fast"

@@ -156,3 +156,15 @@ def test_save_state_is_a_deep_snapshot(engine, signal):
     a = se2.process(signal[2000:4000])
     b = se3.process(signal[2000:4000])
     np.testing.assert_array_equal(a, b)
+
+
+def test_hr_stream_block_size_invariance():
+    """48 kHz HR model: chunked streaming is bit-exact too (small T)."""
+    cfg48 = get_config("dpdfnet2_48khz_hr")
+    eng48 = Engine(cfg48, init_params(cfg48, seed=1))
+    rng = np.random.default_rng(5)
+    x = (0.1 * rng.normal(size=4800)).astype(np.float32)   # 0.1 s @ 48 kHz
+    a = _run_chunked(eng48, x, [480])
+    b = _run_chunked(eng48, x, [333])
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == x.shape
