@@ -221,8 +221,9 @@ class Engine:
             # vectorises over T for throughput.)
             with jax.default_matmul_precision(precision):
                 spec = jnp.fft.rfft(frames * window, axis=-1)
-                spec = jnp.stack([spec.real, spec.imag], -1).astype(frames.dtype)
-                spec = spec * jnp.asarray(cfg.wnorm, frames.dtype)
+                spec = jnp.stack([spec.real, spec.imag], -1).astype(
+                    self.compute_dtype)
+                spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
 
                 def body(carry, spec_t):
                     out_t, carry, _ = forward_spec(
@@ -230,8 +231,8 @@ class Engine:
                     return carry, out_t[:, 0]
 
                 st, out = jax.lax.scan(body, st, jnp.swapaxes(spec, 0, 1))
-                out = jnp.swapaxes(out, 0, 1)
-                out = out / jnp.asarray(cfg.wnorm, frames.dtype)
+                out = jnp.swapaxes(out, 0, 1).astype(jnp.float32)
+                out = out / jnp.asarray(cfg.wnorm, jnp.float32)
                 comp = jax.lax.complex(out[..., 0], out[..., 1])
                 y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
                 return y.astype(jnp.float32), st
@@ -240,7 +241,8 @@ class Engine:
         return run
 
     def init_stream_state(self, batch: int = 1):
-        return state_lib.init_state(self.cfg, batch=batch)
+        return state_lib.init_state(self.cfg, batch=batch,
+                                    dtype=self.compute_dtype)
 
     def process_frames(self, frames: np.ndarray, st):
         """Process ``[B, T, win_len]`` sample frames; returns time-domain
