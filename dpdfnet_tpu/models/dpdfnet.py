@@ -44,6 +44,12 @@ _DB_EPS = 1e-10
 _SPEC_EPS = 1e-12
 
 
+def _pallas_enabled() -> bool:
+    from ..ops import pallas_gru
+
+    return pallas_gru.enabled()
+
+
 def _to_db(x: Array) -> Array:
     return 10.0 * jnp.log10(x + _DB_EPS)
 
@@ -106,9 +112,25 @@ def _dprnn_block(
     """
     B, T, Fq, C = x.shape
     xi = x.reshape(B * T, Fq, C)
-    yi = onn.gru_bidir(p["intra"]["fw"], p["intra"]["bw"], xi)
-    yi = onn.layer_norm(p["intra"]["ln"], onn.linear(p["intra"]["fc"], yi))
-    x = x + yi.reshape(B, T, Fq, C)
+    intra = p["intra"]
+    packed = intra.get("packed")
+    if packed is not None and Fq >= 2 and _pallas_enabled():
+        # Whole intra stage (bidir GRU + fc + LN + residual) as one Pallas
+        # kernel: the row tile never leaves VMEM between the recurrence and
+        # the epilogue (see ops.pallas_gru.dprnn_intra_block).
+        from ..ops import pallas_gru
+
+        x = pallas_gru.dprnn_intra_block(
+            xi, packed["wi2"], packed["wh2"], packed["b2"],
+            intra["fc"]["w"], intra["fc"]["b"],
+            intra["ln"]["g"], intra["ln"]["b"],
+            precision=onn._ambient_precision(),
+            interpret=pallas_gru.interpret_default(),
+        ).reshape(B, T, Fq, C)
+    else:
+        yi = onn.gru_bidir(intra["fw"], intra["bw"], xi, packed=packed)
+        yi = onn.layer_norm(intra["ln"], onn.linear(intra["fc"], yi))
+        x = x + yi.reshape(B, T, Fq, C)
 
     xt = jnp.swapaxes(x, 1, 2).reshape(B * Fq, T, C)         # [(B F), T, C]
     yt, h_new = onn.gru_seq(p["inter"]["gru"], xt, h0=h_inter.reshape(B * Fq, C))
@@ -120,11 +142,56 @@ def _dprnn_block(
 def _dprnn(
     p_blocks: List[Params], x: Array, hs: List[Array]
 ) -> Tuple[Array, List[Array]]:
+    if (p_blocks and _pallas_enabled()
+            and all(p["intra"].get("packed") is not None for p in p_blocks)):
+        return _dprnn_fused(p_blocks, x, hs)
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         x, h_new = _dprnn_block(p, x, h)
         new_hs.append(h_new)
     return x, new_hs
+
+
+def _dprnn_fused(
+    p_blocks: List[Params], x: Array, hs: List[Array]
+) -> Tuple[Array, List[Array]]:
+    """Time-major DPRNN stack on fused Pallas kernels.
+
+    In ``[T, B, Fq, C]`` layout the intra stage's rows ``(T*B, Fq, C)`` and
+    the inter stage's rows ``(T, B*Fq, C)`` are both free reshapes, so the
+    whole stack runs with ONE transpose in and one out (instead of two per
+    block), and each stage is a single kernel that applies its
+    GRU + fc + LayerNorm + residual without materialising intermediates
+    (see ops.pallas_gru.dprnn_intra_block / dprnn_inter_block).
+    """
+    from ..ops import pallas_gru
+
+    prec = onn._ambient_precision()
+    interp = pallas_gru.interpret_default()
+    B, T, Fq, C = x.shape
+    xt = jnp.swapaxes(x, 0, 1)                                # [T, B, Fq, C]
+    new_hs: List[Array] = []
+    for p, h in zip(p_blocks, hs):
+        intra, inter = p["intra"], p["inter"]
+        pk = intra["packed"]
+        xi = pallas_gru.dprnn_intra_block(
+            xt.reshape(T * B, Fq, C),
+            pk["wi2"], pk["wh2"], pk["b2"],
+            intra["fc"]["w"], intra["fc"]["b"],
+            intra["ln"]["g"], intra["ln"]["b"],
+            precision=prec, interpret=interp,
+        )
+        g = inter["gru"]
+        out, h_new = pallas_gru.dprnn_inter_block(
+            xi.reshape(T, B * Fq, C), h.reshape(B * Fq, C),
+            g["wi"], g["bi"], g["wh"], g["bh"],
+            inter["fc"]["w"], inter["fc"]["b"],
+            inter["ln"]["g"], inter["ln"]["b"],
+            precision=prec, interpret=interp,
+        )
+        xt = out.reshape(T, B, Fq, C)
+        new_hs.append(h_new.reshape(B, Fq, C))
+    return jnp.swapaxes(xt, 0, 1), new_hs
 
 
 # --------------------------------------------------------------------------- #

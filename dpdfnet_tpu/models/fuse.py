@@ -74,9 +74,17 @@ def _fuse_subpixel(p: Dict, cin: int, fstride: int) -> Dict:
     # dense_g channel index is c*s+i (c = pre-shuffle channel); apply pw over c
     dense_g = dense_g.reshape(kt, kf, cin, cout, fstride)
     fused = np.einsum("tfcms,md->tfcds", dense_g, pw)
-    fused = fused.reshape(kt, kf, cin, cout * fstride)
-    out = {k: v for k, v in p.items() if k != "pw"}
-    out["w"] = jnp.asarray(fused)
+    # Repack output channels i*C+c ("freq_major") so the sub-pixel
+    # channel->frequency interleave becomes a pure reshape in the forward
+    # (no transpose relayout; see ops.nn.subpixel_block).
+    fused = np.moveaxis(fused, -1, -2).reshape(kt, kf, cin, cout * fstride)
+    out = {k: v for k, v in p.items() if k not in ("pw", "w")}
+    # "w_fm" (not "w") marks freq-major packing; pytree keys are static
+    # structure, so the forward can branch on it under jit.
+    out["w_fm"] = jnp.asarray(fused)
+    if out.get("b") is not None:
+        bvec = np.asarray(out["b"]).reshape(cout, fstride)
+        out["b"] = jnp.asarray(np.moveaxis(bvec, -1, 0).reshape(-1))
     return out
 
 
@@ -107,4 +115,33 @@ def fuse_separable(params: Params, cfg: ModelConfig) -> Params:
     dfd = dict(p["df_dec"])
     dfd["df_convp"] = _fuse_conv(dict(dfd["df_convp"]), C)
     p["df_dec"] = dfd
+    return p
+
+
+def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
+    """Add pre-packed intra-GRU weights for the fused bidirectional Pallas
+    kernel (``ops.pallas_gru.gru_bidir_tm``) to every DPRNN block.
+
+    Packing at engine-build time keeps the (loop-invariant) packing ops out
+    of the streaming per-frame scan body.  The packed tensors coexist with
+    the originals; non-Pallas paths ignore them.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_gru
+
+    p = dict(params)
+    enc = dict(p["enc"])
+    for branch in ("dprnn_erb", "dprnn_df"):
+        blocks = []
+        for bp in enc[branch]:
+            bp = dict(bp)
+            intra = dict(bp["intra"])
+            wi2, wh2, b2 = pallas_gru._pack_bidir(
+                intra["fw"], intra["bw"], jnp.float32)
+            intra["packed"] = {"wi2": wi2, "wh2": wh2, "b2": b2}
+            bp["intra"] = intra
+            blocks.append(bp)
+        enc[branch] = blocks
+    p["enc"] = enc
     return p

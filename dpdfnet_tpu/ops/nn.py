@@ -197,12 +197,18 @@ def subpixel_block(
     grouped/depthwise sub-convs map onto one conv with
     ``feature_group_count=groups``); after the conv, sub-conv index ``i``
     becomes the frequency offset: ``out[..., f*fstride + i, c]``.
+
+    A fused weight under key ``'w_fm'`` instead packs output channels
+    ``i*Cout + c`` ("freq-major", see ``models.fuse._fuse_subpixel``), which
+    turns the interleave into a free reshape.
     """
     fpad = kf // 2
-    groups = x.shape[-1] // p["w"].shape[2]
+    freq_major = "w_fm" in p
+    w = p["w_fm"] if freq_major else p["w"]
+    groups = x.shape[-1] // w.shape[2]
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        w.astype(x.dtype),
         window_strides=(1, 1),
         padding=[(0, 0), (fpad, fpad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -212,9 +218,18 @@ def subpixel_block(
         y = y + p["b"].astype(y.dtype)
     b, t, f, sc = y.shape
     c = sc // fstride
-    # channel index c*s+i -> [B,T,F,C,s] -> [B,T,F,s,C] -> [B,T,F*s,C]
-    y = y.reshape(b, t, f, c, fstride)
-    y = jnp.swapaxes(y, -1, -2).reshape(b, t, f * fstride, c)
+    if freq_major:
+        # Output channels packed i*C+c: the channel->frequency interleave is
+        # the identity in linear order — a plain reshape, no transpose.  On
+        # TPU this removes the two giant relayout copies the c*s+i packing
+        # costs per upsample (measured ~4.5 ms per 32x128-frame segment at
+        # 480 bins on v5e).
+        y = y.reshape(b, t, f * fstride, c)
+    else:
+        # reference packing: channel index c*s+i
+        # [B,T,F,C,s] -> [B,T,F,s,C] -> [B,T,F*s,C]
+        y = y.reshape(b, t, f, c, fstride)
+        y = jnp.swapaxes(y, -1, -2).reshape(b, t, f * fstride, c)
     if p.get("pw") is not None:
         y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
     if p.get("bn") is not None:
@@ -298,6 +313,7 @@ def gru_seq(
             jnp.swapaxes(x, 0, 1), h0,
             p["wi"], p["bi"], p["wh"], p["bh"],
             reverse=reverse, precision=_ambient_precision(),
+            interpret=pallas_gru.interpret_default(),
         )
         return jnp.swapaxes(ys_tm, 0, 1), h_last
 
@@ -329,16 +345,39 @@ def _ambient_precision() -> str:
     return "default"
 
 
-def gru_bidir(p_fw: dict, p_bw: dict, x: Array) -> Array:
+def gru_bidir(p_fw: dict, p_bw: dict, x: Array,
+              packed: Optional[dict] = None) -> Array:
     """Bidirectional GRU (stateless across calls); output concat [fw, bw].
 
     Used for the DPRNN intra (frequency-axis) RNN where the full axis is
     available every frame (`/root/reference/onnx_model/layers.py:126-177`).
 
-    (A fused single-scan variant with direction-batched GEMMs was measured
-    slower on v5e than two plain scans — XLA's batched-matmul layouts cost
-    more than the saved loop; keep the simple form.)
+    On TPU both directions run in ONE Pallas sequential walk with
+    direction-blockdiag weights (see ``pallas_gru.gru_bidir_tm``): K=2I=128
+    contractions fill the MXU depth that two separate H=64 walks leave half
+    empty, in half the sequential cells.  ``packed`` (from
+    ``models.fuse.pack_dprnn_bidir``) supplies the pre-packed weights so no
+    packing ops land inside scan bodies; if absent they are packed inline
+    (XLA hoists the loop-invariant packing).
+
+    (An earlier direction-batched variant via XLA einsum batched GEMMs was
+    measured slower than two plain scans; the Pallas fusion supersedes it.)
     """
+    from . import pallas_gru
+
+    if x.shape[1] >= 2 and pallas_gru.enabled():
+        if packed is None:
+            wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, x.dtype)
+        else:
+            wi2, wh2, b2 = packed["wi2"], packed["wh2"], packed["b2"]
+        ys_f, ys_b = pallas_gru.gru_bidir_tm(
+            jnp.swapaxes(x, 0, 1), wi2, wh2, b2,
+            precision=_ambient_precision(),
+            interpret=pallas_gru.interpret_default(),
+        )
+        return jnp.concatenate(
+            [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1)
+
     y_fw, _ = gru_seq(p_fw, x)
     y_bw, _ = gru_seq(p_bw, x, reverse=True)
     return jnp.concatenate([y_fw, y_bw], axis=-1)

@@ -60,6 +60,15 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def interpret_default() -> bool:
+    """Run kernels in interpreter mode (DPDFNET_TPU_PALLAS_INTERPRET=1).
+
+    Lets the fused model paths execute on CPU for testing; read at trace
+    time."""
+    return os.environ.get(
+        "DPDFNET_TPU_PALLAS_INTERPRET", "0") not in ("0", "false", "False")
+
+
 def _kernel(TS: int, H: int, reverse: bool, precision,
             h0_ref, x_ref, wi_ref, wh_ref, b_ref, ys_ref, hl_ref, h_scr):
     t = pl.program_id(1)
@@ -88,6 +97,402 @@ def _kernel(TS: int, H: int, reverse: bool, precision,
         ys_ref[idx] = h
     h_scr[:] = h
     hl_ref[0] = h
+
+
+def _bidir_kernel(H: int, precision,
+                  xf_ref, xb_ref, wi_ref, wh_ref, b_ref,
+                  ysf_ref, ysb_ref, h_scr):
+    """Both GRU directions in one sequential walk.
+
+    The carry scratch holds [h_fw | h_bw] on the lane axis ([tile, 2H]); the
+    weights are direction-blockdiag, gate-major packed (see
+    ``_pack_bidir``), so every gate op runs on full 2H=128 lanes and each
+    GEMM contracts over K=2I=128 — twice the MXU depth utilisation of two
+    separate H=64 walks, in half the sequential cells.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    h = h_scr[:]
+    x2 = jnp.concatenate([xf_ref[0], xb_ref[0]], axis=-1)       # [tile, 2I]
+    xp = jax.lax.dot_general(
+        x2, wi_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + b_ref[0:1, :]
+    hh = jax.lax.dot_general(
+        h, wh_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + b_ref[1:2, :]
+    H2 = 2 * H
+    r = jax.nn.sigmoid(xp[:, :H2] + hh[:, :H2])
+    z = jax.nn.sigmoid(xp[:, H2:2 * H2] + hh[:, H2:2 * H2])
+    n = jnp.tanh(xp[:, 2 * H2:] + r * hh[:, 2 * H2:])
+    h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
+    h_scr[:] = h
+    ysf_ref[0] = h[:, :H]
+    ysb_ref[0] = h[:, H:]
+
+
+def _pack_bidir(p_fw: dict, p_bw: dict, dtype):
+    """Stack two GRU parameter sets direction-blockdiag, gate-major.
+
+    Returns (wi2 [2I, 6H], wh2 [2H, 6H], b2 [2, 6H]) where the 6H column
+    axis is [r_f r_b z_f z_b n_f n_b] and the row axis is [fw-rows | bw-rows]
+    with zero cross-direction blocks.
+    """
+    wi_f, wh_f = p_fw["wi"], p_fw["wh"]
+    wi_b, wh_b = p_bw["wi"], p_bw["wh"]
+    I, H3 = wi_f.shape
+    H = H3 // 3
+
+    def pack(wf, wb):
+        rows = wf.shape[0]
+        out = jnp.zeros((2 * rows, 6 * H), dtype)
+        for g in range(3):                       # r, z, n gate blocks
+            out = out.at[:rows, (2 * g) * H:(2 * g + 1) * H].set(
+                wf[:, g * H:(g + 1) * H].astype(dtype))
+            out = out.at[rows:, (2 * g + 1) * H:(2 * g + 2) * H].set(
+                wb[:, g * H:(g + 1) * H].astype(dtype))
+        return out
+
+    def packb(bf, bb):
+        out = jnp.zeros((6 * H,), dtype)
+        for g in range(3):
+            out = out.at[(2 * g) * H:(2 * g + 1) * H].set(
+                bf[g * H:(g + 1) * H].astype(dtype))
+            out = out.at[(2 * g + 1) * H:(2 * g + 2) * H].set(
+                bb[g * H:(g + 1) * H].astype(dtype))
+        return out
+
+    wi2 = pack(wi_f, wi_b)
+    wh2 = pack(wh_f, wh_b)
+    b2 = jnp.stack([packb(p_fw["bi"], p_bw["bi"]),
+                    packb(p_fw["bh"], p_bw["bh"])])
+    return wi2, wh2, b2
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def gru_bidir_tm(
+    x_tm: Array,
+    wi2: Array,
+    wh2: Array,
+    b2: Array,
+    *,
+    precision: str = "high",
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused bidirectional GRU over ``x_tm: [T, N, I]`` from zero state.
+
+    Weights must be packed by :func:`_pack_bidir`.  Returns
+    (ys_fw [T, N, H], ys_bw [T, N, H]); callers concatenate on the feature
+    axis to match ``nn.gru_bidir``.
+    """
+    T, N, I = x_tm.shape
+    H = wh2.shape[0] // 2
+    dtype = x_tm.dtype
+
+    tile = min(_TILE_N, max(8, N))
+    n_pad = (-N) % tile
+    if n_pad:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+    n_tiles = Np // tile
+
+    fwd = lambda i, t: (t, i, 0)
+    bwd = lambda i, t: (T - 1 - t, i, 0)
+    kern = functools.partial(_bidir_kernel, H, _PRECISIONS[precision])
+
+    ys_f, ys_b = pl.pallas_call(
+        kern,
+        grid=(n_tiles, T),
+        in_specs=[
+            pl.BlockSpec((1, tile, I), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, I), bwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # biases
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, H), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, H), bwd, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Np, H), dtype),
+            jax.ShapeDtypeStruct((T, Np, H), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, 2 * H), dtype),                     # [h_fw|h_bw]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_tm, x_tm, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype))
+
+    if n_pad:
+        ys_f = ys_f[:, :N]
+        ys_b = ys_b[:, :N]
+    return ys_f, ys_b
+
+
+def _intra_block_kernel(T: int, C: int, precision, eps: float,
+                        x_ref, wi_ref, wh_ref, b_ref,
+                        wfc_ref, bfc_ref, g_ref, bln_ref,
+                        out_ref, scrf, scrb):
+    """One DPRNN intra pass, fully VMEM-resident per row tile.
+
+    x block is [tile, T, C] in the model's natural row-major layout (rows =
+    independent (b, t) frames, T = the frequency axis being scanned).  Both
+    GRU directions advance together per step (packed weights as in
+    ``_bidir_kernel``); hidden pairs land in the ``scr`` concat buffer, and
+    the fc + LayerNorm + residual epilogue runs before anything leaves VMEM.
+    HBM traffic: read x once, write the residual output once — the separate
+    ys materialisation, concat, fc and LN passes (and their relayout copies)
+    all disappear.
+    """
+    tile = x_ref.shape[0]
+    C2 = 2 * C
+
+    # Recurrence via fori_loop (compact code, reused stack slots — a static
+    # unroll was measured to leak one [tile, 6C] stack slot per iteration
+    # and blow the 16M scoped-vmem limit).  Hidden-pair history lands in the
+    # time-leading scratches; dynamic stores are only supported on the
+    # leading dim.
+    def step(s, h):
+        xf = x_ref[:, pl.ds(s, 1), :].reshape(tile, C)
+        xb = x_ref[:, pl.ds(T - 1 - s, 1), :].reshape(tile, C)
+        x2 = jnp.concatenate([xf, xb], axis=-1)                  # [tile, 2C]
+        xp = jax.lax.dot_general(
+            x2, wi_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + b_ref[0:1, :]
+        hh = jax.lax.dot_general(
+            h, wh_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + b_ref[1:2, :]
+        r = jax.nn.sigmoid(xp[:, :C2] + hh[:, :C2])
+        z = jax.nn.sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+        n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+        h = ((1.0 - z) * n + z * h).astype(x_ref.dtype)
+        hf = h[:, :C]
+        hb = h[:, C:]
+        scrf[pl.ds(s, 1)] = hf[None]
+        scrb[pl.ds(T - 1 - s, 1)] = hb[None]
+        return h
+
+    jax.lax.fori_loop(0, T, step, jnp.zeros((tile, C2), x_ref.dtype))
+
+    # Epilogue per (static) time step so live temporaries stay [tile, C]
+    # (a single whole-buffer fc was measured to blow the scoped-vmem stack):
+    # fc over the concat [ys_fw | ys_bw] as two half-dots, LayerNorm,
+    # residual with the x block still resident.
+    for s in range(T):
+        y = jax.lax.dot_general(
+            scrf[s], wfc_ref[:C], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            scrb[s], wfc_ref[C:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + bfc_ref[0:1, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(x_ref.dtype)
+        out_ref[:, s, :] = x_ref[:, s, :] + yn
+
+
+_INTRA_TILE = 128
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def dprnn_intra_block(
+    x: Array,
+    wi2: Array,
+    wh2: Array,
+    b2: Array,
+    wfc: Array,
+    bfc: Array,
+    g: Array,
+    bln: Array,
+    *,
+    precision: str = "high",
+    interpret: bool = False,
+) -> Array:
+    """Fused DPRNN intra stage: ``x + LN(FC(bidirGRU(x)))``.
+
+    x: [N, T, C] (N independent rows, recurrence along T).  Weights: packed
+    bidir GRU (``_pack_bidir``), fc ``[2C, C]``/``[C]``, LayerNorm gain/bias
+    ``[C]``.  Matches ``nn.gru_bidir`` + ``nn.linear`` + ``nn.layer_norm``
+    + residual as used by ``models.dpdfnet._dprnn_block``.
+    """
+    N, T, C = x.shape
+    dtype = x.dtype
+
+    tile = min(_INTRA_TILE, max(8, N))
+    n_pad = (-N) % tile
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
+    Np = N + n_pad
+
+    kern = functools.partial(
+        _intra_block_kernel, T, C, _PRECISIONS[precision], 1e-5)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
+        ],
+        out_specs=pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, T, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, tile, C), dtype),                      # ys_fw
+            pltpu.VMEM((T, tile, C), dtype),                      # ys_bw
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype),
+      wfc.astype(dtype), bfc.reshape(1, -1).astype(dtype),
+      g.reshape(1, -1).astype(dtype), bln.reshape(1, -1).astype(dtype))
+
+    return out[:N] if n_pad else out
+
+
+def _inter_block_kernel(H: int, precision, eps: float,
+                        h0_ref, x_ref, wi_ref, wh_ref, b_ref,
+                        wfc_ref, bfc_ref, g_ref, bln_ref,
+                        out_ref, hl_ref, h_scr):
+    """One DPRNN inter step per grid cell with the epilogue fused:
+    ``out[t] = x[t] + LN(FC(h_t))``.  Unlike the intra stage the GRU is
+    unidirectional, so the epilogue applies as soon as ``h_t`` exists and
+    the hidden sequence never touches HBM."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[0]
+
+    x = x_ref[0]
+    h = h_scr[:]
+    xp = jax.lax.dot_general(
+        x, wi_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + b_ref[0:1, :]
+    hh = jax.lax.dot_general(
+        h, wh_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + b_ref[1:2, :]
+    r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
+    z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+    n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
+    h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
+    h_scr[:] = h
+    hl_ref[0] = h
+
+    y = jax.lax.dot_general(
+        h, wfc_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + bfc_ref[0:1, :]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+    out_ref[0] = x + yn.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def dprnn_inter_block(
+    x_tm: Array,
+    h0: Array,
+    wi: Array,
+    bi: Array,
+    wh: Array,
+    bh: Array,
+    wfc: Array,
+    bfc: Array,
+    g: Array,
+    bln: Array,
+    *,
+    precision: str = "high",
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
+
+    Returns (out_tm [T, N, C], h_last [N, C]) where
+    ``out[t] = x[t] + LN(FC(GRUstep(h, x[t])))`` — matching
+    ``nn.gru_seq`` + ``nn.linear`` + ``nn.layer_norm`` + residual as used
+    by ``models.dpdfnet._dprnn_block``.
+    """
+    T, N, C = x_tm.shape
+    dtype = x_tm.dtype
+
+    tile = min(_TILE_N, max(8, N))
+    n_pad = (-N) % tile
+    if n_pad:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    b2 = jnp.stack([bi, bh]).astype(dtype)
+    tmap = lambda i, t: (t, i, 0)
+    kern = functools.partial(
+        _inter_block_kernel, C, _PRECISIONS[precision], 1e-5)
+
+    out, h_last = pl.pallas_call(
+        kern,
+        grid=(Np // tile, T),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # h0
+            pl.BlockSpec((1, tile, C), tmap,
+                         memory_space=pltpu.VMEM),                # x block
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # biases
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # h_last
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Np, C), dtype),
+            jax.ShapeDtypeStruct((1, Np, C), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, C), dtype),                         # h carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2,
+      wfc.astype(dtype), bfc.reshape(1, -1).astype(dtype),
+      g.reshape(1, -1).astype(dtype), bln.reshape(1, -1).astype(dtype))
+
+    h_last = h_last[0]
+    if n_pad:
+        out = out[:, :N]
+        h_last = h_last[:N]
+    return out, h_last
 
 
 @functools.partial(

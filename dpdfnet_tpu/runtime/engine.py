@@ -74,9 +74,11 @@ class Engine:
     ):
         self.cfg = cfg
         if fuse:
-            from ..models.fuse import fuse_separable
+            from ..models.fuse import fuse_separable, pack_dprnn_bidir
 
             params = fuse_separable(params, cfg)
+            if cfg.dprnn_blocks:
+                params = pack_dprnn_bidir(params, cfg)
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype

@@ -171,3 +171,29 @@ def test_istft_matches_torch():
     n = min(ref.shape[-1], got.shape[-1])
     np.testing.assert_allclose(np.asarray(got[0, :n]), ref[0, :n].numpy(),
                                atol=1e-4)
+
+
+def test_fuse_separable_preserves_forward():
+    """Engine-style fused params (dense convs, freq-major subpixel packing,
+    packed bidir intra weights) must match the unfused forward."""
+    import jax.numpy as jnp
+
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+    from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.models.state import init_state
+
+    rng = np.random.default_rng(0)
+    for name in ("dpdfnet2", "dpdfnet2_48khz_hr"):
+        cfg = get_config(name)
+        params = init_params(cfg, seed=3)
+        fused = pack_dprnn_bidir(fuse_separable(params, cfg), cfg)
+        spec = jnp.asarray(
+            rng.normal(size=(2, 6, cfg.freq_bins, 2)).astype(np.float32))
+        st = init_state(cfg, batch=2)
+        out_ref, _, _ = forward_spec(params, cfg, spec, st)
+        out_fused, _, _ = forward_spec(fused, cfg, spec, st)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), atol=2e-5,
+            err_msg=name)

@@ -53,6 +53,25 @@ def test_gru_scan_row_padding():
         np.asarray(jnp.swapaxes(ys, 0, 1)), np.asarray(ys_ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("N,T,I,H", [(40, 13, 8, 8), (16, 24, 16, 8), (11, 7, 8, 8)])
+def test_gru_bidir_fused_matches_two_scans(N, T, I, H):
+    rng = np.random.default_rng(2)
+    p_fw = _params(rng, I, H)
+    p_bw = _params(rng, I, H)
+    x = jnp.asarray(rng.normal(size=(N, T, I)).astype(np.float32))
+
+    y_fw, _ = onn.gru_seq(p_fw, x)
+    y_bw, _ = onn.gru_seq(p_bw, x, reverse=True)
+    ref = jnp.concatenate([y_fw, y_bw], axis=-1)
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    ys_f, ys_b = pallas_gru.gru_bidir_tm(
+        jnp.swapaxes(x, 0, 1), wi2, wh2, b2, interpret=True)
+    got = jnp.concatenate(
+        [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_enabled_env_override(monkeypatch):
     monkeypatch.setenv("DPDFNET_TPU_PALLAS", "0")
     assert not pallas_gru.enabled()
@@ -60,3 +79,83 @@ def test_enabled_env_override(monkeypatch):
     assert pallas_gru.enabled()
     monkeypatch.delenv("DPDFNET_TPU_PALLAS")
     assert pallas_gru.enabled() == (jax.default_backend() == "tpu")
+
+
+def _lnp(rng, C):
+    return (
+        jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.5 + 1.0),
+        jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1),
+    )
+
+
+@pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 5, 16)])
+def test_dprnn_intra_block_kernel(N, T, C):
+    """Fused intra stage == gru_bidir + linear + layer_norm + residual."""
+    rng = np.random.default_rng(3)
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+
+    yi = onn.gru_bidir(p_fw, p_bw, x)
+    yi = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yi))
+    ref = x + yi
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    got = pallas_gru.dprnn_intra_block(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 5, 16)])
+def test_dprnn_inter_block_kernel(N, T, C):
+    """Fused inter stage == gru_seq + linear + layer_norm + residual."""
+    rng = np.random.default_rng(4)
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    yt, hl_ref = onn.gru_seq(p, x, h0=h0)
+    yt = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yt))
+    ref = x + yt
+
+    out, hl = pallas_gru.dprnn_inter_block(
+        jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
+
+
+def test_fused_dprnn_stack_forward(monkeypatch):
+    """forward_spec with the fused time-major DPRNN stack (interpret mode)
+    matches the plain XLA path, outputs and carried state."""
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+    from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.models.state import init_state
+
+    rng = np.random.default_rng(5)
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=3)
+    fused = pack_dprnn_bidir(fuse_separable(params, cfg), cfg)
+    spec = jnp.asarray(
+        rng.normal(size=(2, 6, cfg.freq_bins, 2)).astype(np.float32))
+    st = init_state(cfg, batch=2)
+
+    out_ref, st_ref, _ = forward_spec(params, cfg, spec, st)
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS", "1")
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    out_f, st_f, _ = forward_spec(fused, cfg, spec, st)
+
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_ref), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f),
+                    jax.tree_util.tree_leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
