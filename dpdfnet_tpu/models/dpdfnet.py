@@ -242,12 +242,24 @@ def _encoder(
         x_in, tail = x_erb[:, :, :-1, :], tail_in[:, :, :-1, :]
     else:
         x_in, tail = x_erb, tail_in
-    e0, _ = onn.conv_block(p["erb_conv0"], x_in, kt=kt, kf=kf, act="relu",
-                           time_tail=tail)
     new_erb_tail = jnp.concatenate([tail_in, x_erb], axis=1)[:, -2:]
 
-    e1, _ = onn.conv_block(p["erb_conv1"], e0, kt=1, kf=kfc, fstride=s1,
-                           act="relu")
+    if cfg.hr and "erb_conv0_folded" in p:
+        # frequency-folded 480-bin plane (see models.fuse.fold_hr_tail):
+        # e0 lives as [B,T,160,3C]; erb_conv1's stride-3 becomes stride 1.
+        B_, _, Fb, _ = x_in.shape
+        Ff = Fb // s1
+        x_f = x_in.reshape(B_, x_in.shape[1], Ff, s1)
+        tail_f = tail.reshape(B_, tail.shape[1], Ff, s1)
+        e0, _ = onn.conv_block(p["erb_conv0_folded"], x_f, kt=kt, kf=kf,
+                               act="relu", time_tail=tail_f)
+        e1, _ = onn.conv_block(p["erb_conv1_folded"], e0, kt=1, kf=2,
+                               fpad=(1, 0), act="relu")
+    else:
+        e0, _ = onn.conv_block(p["erb_conv0"], x_in, kt=kt, kf=kf,
+                               act="relu", time_tail=tail)
+        e1, _ = onn.conv_block(p["erb_conv1"], e0, kt=1, kf=kfc, fstride=s1,
+                               act="relu")
     e2, _ = onn.conv_block(p["erb_conv2"], e1, kt=1, kf=kfc, fstride=s2,
                            act="relu")
     e3, _ = onn.conv_block(p["erb_conv3"], e2, kt=1, kf=kfc, fstride=s3,
@@ -323,10 +335,25 @@ def _erb_decoder(
 
     x3 = up(p["convt3"], pconv(p["conv3p"], e3) + e, st3)
     x2 = up(p["convt2"], pconv(p["conv2p"], e2) + x3, st2)
-    x1 = up(p["convt1"], pconv(p["conv1p"], e1) + x2, st1)
-    m, _ = onn.conv_block(p["conv0_out"], pconv(p["conv0p"], e0) + x1,
-                          kt=1, kf=kfc, act="sigmoid")
-    m = m[..., 0]                                                # [B,T,E0]
+    if cfg.hr and "conv0_out_folded" in p:
+        # frequency-folded tail: the last upsample stays in its pre-
+        # interleave [160, 3C] form, the skip (e0 is already folded, conv0p
+        # is a channel-tiled depthwise) adds in place, and the mask head
+        # emits its 3 phases as channels — the [.., 480, 64] plane and the
+        # [.., 480, 1] mask-head layout never materialise.
+        x1z = onn.subpixel_block(p["convt1_folded"],
+                                 pconv(p["conv1p"], e1) + x2,
+                                 kf=kfc, fstride=st1, act="relu", fold=True)
+        e0p, _ = onn.conv_block(p["conv0p_folded"], e0, kt=1, kf=1,
+                                act="relu")
+        mf, _ = onn.conv_block(p["conv0_out_folded"], e0p + x1z,
+                               kt=1, kf=kfc, act="sigmoid")   # [B,T,160,3]
+        m = mf.reshape(mf.shape[0], mf.shape[1], -1)
+    else:
+        x1 = up(p["convt1"], pconv(p["conv1p"], e1) + x2, st1)
+        m, _ = onn.conv_block(p["conv0_out"], pconv(p["conv0p"], e0) + x1,
+                              kt=1, kf=kfc, act="sigmoid")
+        m = m[..., 0]                                            # [B,T,E0]
     if cfg.hr:
         # mirror-duplicate the top bin: 480 -> 481 bins
         m = jnp.concatenate([m, m[:, :, -2:-1]], axis=-1)

@@ -118,6 +118,130 @@ def fuse_separable(params: Params, cfg: ModelConfig) -> Params:
     return p
 
 
+def prepare_inference_params(params: Params, cfg: ModelConfig) -> Params:
+    """All inference-time re-parameterisations, in order: dense-fuse the
+    separable convs, fold the 48 kHz 480-bin plane, pre-pack the DPRNN
+    intra weights.  Pure re-parameterisation — forward outputs match the
+    raw tree to fp tolerance."""
+    params = fuse_separable(params, cfg)
+    params = fold_hr_tail(params, cfg)
+    if cfg.dprnn_blocks:
+        params = pack_dprnn_bidir(params, cfg)
+    return params
+
+
+def _tile_ch(v, s: int):
+    """Per-channel vector [C] -> folded [s*C] for channel index j*C+c."""
+    return jnp.asarray(np.tile(np.asarray(v), s))
+
+
+def fold_hr_tail(params: Params, cfg: ModelConfig) -> Params:
+    """Re-express the 480-bin plane of the 48 kHz models frequency-folded.
+
+    The full-band branch's only 480-resolution tensors are e0 (erb_conv0
+    out), the last decoder upsample x1, and the mask head output.  Because
+    erb_conv1's stride and convt1's upsample factor are both ``s=3``, the
+    whole plane can run as ``[F/3, 3*C]`` ("folded") with pure weight
+    restructures — bit-equal linear maps, no resampling:
+
+    - erb_conv0  [3,3,1,C]   -> [3,3,3,3C]   (input folded [160,3])
+    - erb_conv1  [1,3,C,C]   -> [1,2,3C,C]   stride 3 -> stride 1, pad (1,0)
+    - conv0p     [1,1,1,C]   -> [1,1,1,3C]   (depthwise scale, tiled)
+    - conv0_out  [1,3,C,1]   -> [1,3,3C,3]   (mask head; 3 phase outputs)
+    - convt1     emits its freq-major conv output un-reshaped
+
+    Folded channel index is j*C+c (j = position-in-fold).  In-bounds tap
+    mapping: original kernel offset d = s*(dg-1) + j_in - j_out (zero
+    weights elsewhere).  This removes every [.., 480, 64] relayout copy and
+    the pathologically tiled [.., 480, 1] mask-head output (measured ~8 ms
+    per 32x128-frame segment on v5e).
+    """
+    if not cfg.hr or cfg.upsample != "subpixel":
+        return params
+    s = cfg.erb_fstrides[0]
+    assert s == cfg.dec_fstrides[2] == 3
+    C = cfg.conv_ch
+
+    p = dict(params)
+    enc = dict(p["enc"])
+    dec = dict(p["erb_dec"])
+
+    # erb_conv0: [kt,3,1,C] -> [kt,3,3,s*C], input [160, 3]
+    w = np.asarray(enc["erb_conv0"]["w"])
+    kt = w.shape[0]
+    w2 = np.zeros((kt, 3, s, s * C), np.float32)
+    for dg in range(3):
+        for jin in range(s):
+            for jout in range(s):
+                d = s * (dg - 1) + jin - jout
+                if -1 <= d <= 1:
+                    w2[:, dg, jin, jout * C:(jout + 1) * C] = w[:, d + 1, 0]
+    bn = enc["erb_conv0"].get("bn")
+    enc["erb_conv0_folded"] = {
+        "w": jnp.asarray(w2),
+        "b": (None if enc["erb_conv0"].get("b") is None
+              else _tile_ch(enc["erb_conv0"]["b"], s)),
+        "bn": None if bn is None else {"scale": _tile_ch(bn["scale"], s),
+                                       "shift": _tile_ch(bn["shift"], s)},
+    }
+
+    # erb_conv1: [1,3,C,C] stride 3 -> [1,2,s*C,C] stride 1, pad (1,0)
+    w = np.asarray(enc["erb_conv1"]["w"])
+    w1 = np.zeros((1, 2, s * C, C), np.float32)
+    for dg in range(2):
+        for jin in range(s):
+            kd = s * (dg - 1) + jin + 1
+            if 0 <= kd < 3:
+                w1[:, dg, jin * C:(jin + 1) * C, :] = w[:, kd]
+    enc["erb_conv1_folded"] = {**{k: v for k, v in enc["erb_conv1"].items()
+                                  if k != "w"}, "w": jnp.asarray(w1)}
+
+    # conv0p: depthwise 1x1 -> depthwise over s*C (channel-tiled)
+    cp = dec["conv0p"]
+    bn = cp.get("bn")
+    dec["conv0p_folded"] = {
+        "w": jnp.asarray(np.tile(np.asarray(cp["w"])[0, 0, 0], s)
+                         ).reshape(1, 1, 1, s * C),
+        "b": None if cp.get("b") is None else _tile_ch(cp["b"], s),
+        "bn": None if bn is None else {"scale": _tile_ch(bn["scale"], s),
+                                       "shift": _tile_ch(bn["shift"], s)},
+    }
+
+    # conv0_out (mask head): [1,3,C,1] -> [1,3,s*C,s]
+    co = dec["conv0_out"]
+    w = np.asarray(co["w"])
+    w3 = np.zeros((1, 3, s * C, s), np.float32)
+    for dg in range(3):
+        for jin in range(s):
+            for i in range(s):
+                d = s * (dg - 1) + jin - i
+                if -1 <= d <= 1:
+                    w3[:, dg, jin * C:(jin + 1) * C, i] = w[:, d + 1, :, 0]
+    bn = co.get("bn")
+    dec["conv0_out_folded"] = {
+        "w": jnp.asarray(w3),
+        "b": (None if co.get("b") is None
+              else jnp.asarray(np.repeat(np.asarray(co["b"]), s))),
+        "bn": None if bn is None else {
+            "scale": jnp.asarray(np.repeat(np.asarray(bn["scale"]), s)),
+            "shift": jnp.asarray(np.repeat(np.asarray(bn["shift"]), s))},
+    }
+
+    # convt1: same freq-major weights, bn tiled for the un-reshaped output
+    ct = dec["convt1"]
+    bn = ct.get("bn")
+    dec["convt1_folded"] = {
+        "w_fm": ct["w_fm"],
+        "b": ct.get("b"),
+        "bn": None if bn is None else {"scale": _tile_ch(bn["scale"], s),
+                                       "shift": _tile_ch(bn["shift"], s)},
+    }
+
+    p["enc"] = enc
+    p["erb_dec"] = dec
+    return p
+
+
 def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
     """Add pre-packed intra-GRU weights for the fused bidirectional Pallas
     kernel (``ops.pallas_gru.gru_bidir_tm``) to every DPRNN block.

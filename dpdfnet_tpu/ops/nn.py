@@ -61,6 +61,7 @@ def conv_block(
     fstride: int = 1,
     act: Optional[str] = "relu",
     time_tail: Optional[Array] = None,
+    fpad: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Causal Conv2d + optional pointwise + BN(eval) + activation.
 
@@ -89,7 +90,8 @@ def conv_block(
             )
         x = jnp.concatenate([time_tail, x], axis=1)
         new_tail = x[:, -(kt - 1):]
-    fpad = kf // 2
+    if fpad is None:
+        fpad = (kf // 2, kf // 2)
     groups = x.shape[-1] // p["w"].shape[2]
     # NOTE: alternatives benchmarked on v5e and rejected: explicit im2col
     # (slice-stack + GEMM) for the strided convs, and a shifted
@@ -101,7 +103,7 @@ def conv_block(
         x,
         p["w"].astype(x.dtype),
         window_strides=(1, fstride),
-        padding=[(0, 0), (fpad, fpad)],
+        padding=[(0, 0), fpad],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
@@ -189,6 +191,7 @@ def subpixel_block(
     kf: int,
     fstride: int,
     act: Optional[str] = "relu",
+    fold: bool = False,
 ) -> Array:
     """Sub-pixel frequency upsampling block (kernel time size 1).
 
@@ -216,6 +219,15 @@ def subpixel_block(
     )
     if p.get("b") is not None:
         y = y + p["b"].astype(y.dtype)
+    if fold:
+        # Emit the frequency-FOLDED form [B, T, F, s*C] (freq-major packed;
+        # requires 'w_fm' weights and per-folded-channel 'bn').  Used by the
+        # 48 kHz decoder tail, which continues in folded layout.
+        assert freq_major and p.get("pw") is None
+        if p.get("bn") is not None:
+            y = y * p["bn"]["scale"].astype(y.dtype) \
+                + p["bn"]["shift"].astype(y.dtype)
+        return apply_act(y, act)
     b, t, f, sc = y.shape
     c = sc // fstride
     if freq_major:

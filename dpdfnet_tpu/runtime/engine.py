@@ -74,11 +74,9 @@ class Engine:
     ):
         self.cfg = cfg
         if fuse:
-            from ..models.fuse import fuse_separable, pack_dprnn_bidir
+            from ..models.fuse import prepare_inference_params
 
-            params = fuse_separable(params, cfg)
-            if cfg.dprnn_blocks:
-                params = pack_dprnn_bidir(params, cfg)
+            params = prepare_inference_params(params, cfg)
         self.params = params
         self.precision = precision
         self.compute_dtype = compute_dtype

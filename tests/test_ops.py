@@ -180,7 +180,7 @@ def test_fuse_separable_preserves_forward():
 
     from dpdfnet_tpu.config import get_config
     from dpdfnet_tpu.models.dpdfnet import forward_spec
-    from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
+    from dpdfnet_tpu.models.fuse import prepare_inference_params
     from dpdfnet_tpu.models.params import init_params
     from dpdfnet_tpu.models.state import init_state
 
@@ -188,7 +188,7 @@ def test_fuse_separable_preserves_forward():
     for name in ("dpdfnet2", "dpdfnet2_48khz_hr"):
         cfg = get_config(name)
         params = init_params(cfg, seed=3)
-        fused = pack_dprnn_bidir(fuse_separable(params, cfg), cfg)
+        fused = prepare_inference_params(params, cfg)
         spec = jnp.asarray(
             rng.normal(size=(2, 6, cfg.freq_bins, 2)).astype(np.float32))
         st = init_state(cfg, batch=2)
