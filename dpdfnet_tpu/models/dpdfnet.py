@@ -142,6 +142,10 @@ def _dprnn_block(
 def _dprnn(
     p_blocks: List[Params], x: Array, hs: List[Array]
 ) -> Tuple[Array, List[Array]]:
+    if len(p_blocks) != len(hs):
+        raise ValueError(
+            f"state carries {len(hs)} DPRNN block hiddens but the model has "
+            f"{len(p_blocks)} blocks — state from a different configuration?")
     if (p_blocks and _pallas_enabled()
             and all(p["intra"].get("packed") is not None for p in p_blocks)):
         return _dprnn_fused(p_blocks, x, hs)
@@ -168,12 +172,19 @@ def _dprnn_fused(
 
     prec = onn._ambient_precision()
     interp = pallas_gru.interpret_default()
+    use_v2 = pallas_gru.v2_enabled(prec)
     B, T, Fq, C = x.shape
     xt = jnp.swapaxes(x, 0, 1)                                # [T, B, Fq, C]
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         intra, inter = p["intra"], p["inter"]
         pk = intra["packed"]
+        g = inter["gru"]
+        # Intra: the v1 kernel.  (The v2 variant hoisting xp into VMEM
+        # scratch — dprnn_intra_block_v2 — measured SLOWER e2e on v5e,
+        # 1021 -> 981 xRT: the per-step double xp load + gate-column select
+        # costs more VPU than the removed blockdiag dot saved on the MXU.
+        # Env-gated via DPDFNET_TPU_PALLAS_V2; see pallas_gru.v2_enabled.)
         xi = pallas_gru.dprnn_intra_block(
             xt.reshape(T * B, Fq, C),
             pk["wi2"], pk["wh2"], pk["b2"],
@@ -181,14 +192,27 @@ def _dprnn_fused(
             intra["ln"]["g"], intra["ln"]["b"],
             precision=prec, interpret=interp,
         )
-        g = inter["gru"]
-        out, h_new = pallas_gru.dprnn_inter_block(
-            xi.reshape(T, B * Fq, C), h.reshape(B * Fq, C),
-            g["wi"], g["bi"], g["wh"], g["bh"],
-            inter["fc"]["w"], inter["fc"]["b"],
-            inter["ln"]["g"], inter["ln"]["b"],
-            precision=prec, interpret=interp,
-        )
+        if use_v2 and "whfc" in inter:
+            # Inter v2: xp hoisted to one big XLA GEMM; in-kernel the fc is
+            # deferred one step so each step runs a single fused dot
+            # h_new @ [Wh | Wfc] (exact math; see ops.pallas_gru).
+            xr = xi.reshape(T, B * Fq, C)
+            xp = (xr @ g["wi"].astype(xr.dtype)
+                  + g["bi"].astype(xr.dtype)).astype(jnp.bfloat16)
+            out, h_new = pallas_gru.dprnn_inter_block_v2(
+                xp, xr, h.reshape(B * Fq, C),
+                inter["whfc"], g["bh"],
+                inter["fc"]["b"], inter["ln"]["g"], inter["ln"]["b"],
+                precision=prec, interpret=interp,
+            )
+        else:
+            out, h_new = pallas_gru.dprnn_inter_block(
+                xi.reshape(T, B * Fq, C), h.reshape(B * Fq, C),
+                g["wi"], g["bi"], g["wh"], g["bh"],
+                inter["fc"]["w"], inter["fc"]["b"],
+                inter["ln"]["g"], inter["ln"]["b"],
+                precision=prec, interpret=interp,
+            )
         xt = out.reshape(T, B, Fq, C)
         new_hs.append(h_new.reshape(B, Fq, C))
     return jnp.swapaxes(xt, 0, 1), new_hs
@@ -202,6 +226,10 @@ def _squeezed_gru(
     p: Params, x: Array, hs: List[Array], skip: str = "none"
 ) -> Tuple[Array, List[Array]]:
     h = onn.grouped_linear(p["lin_in"], x, act="relu")
+    if len(p["grus"]) != len(hs):
+        raise ValueError(
+            f"state carries {len(hs)} GRU hiddens but this SqueezedGRU has "
+            f"{len(p['grus'])} layers — state from a different configuration?")
     new_hs: List[Array] = []
     for gp, h0 in zip(p["grus"], hs):
         h, h_last = onn.gru_seq(gp, h, h0=h0)

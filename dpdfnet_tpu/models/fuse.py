@@ -263,8 +263,15 @@ def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
             intra = dict(bp["intra"])
             wi2, wh2, b2 = pallas_gru._pack_bidir(
                 intra["fw"], intra["bw"], jnp.float32)
-            intra["packed"] = {"wi2": wi2, "wh2": wh2, "b2": b2}
+            wi_cat, wh_big = pallas_gru.pack_intra_v2(
+                {"wi2": wi2, "wh2": wh2}, intra["fc"]["w"])
+            intra["packed"] = {"wi2": wi2, "wh2": wh2, "b2": b2,
+                               "wi_cat": wi_cat, "wh_big": wh_big}
             bp["intra"] = intra
+            inter = dict(bp["inter"])
+            inter["whfc"] = jnp.concatenate(
+                [inter["gru"]["wh"], inter["fc"]["w"]], axis=1)
+            bp["inter"] = inter
             blocks.append(bp)
         enc[branch] = blocks
     p["enc"] = enc

@@ -60,6 +60,37 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def v2_enabled(precision: str) -> bool:
+    """Use the hoisted-projection v2 DPRNN kernels? (opt-in experiment)
+
+    Both v2 restructurings MEASURED SLOWER e2e than v1 on v5e
+    (dpdfnet8_48khz_hr b32 'default': v1 1021 xRT, intra+inter v2 981,
+    inter v2 only 988): the intra hoist trades one blockdiag MXU dot for a
+    per-step double xp load + gate-column select on the VPU, and the inter
+    hoist adds an HBM round-trip for the 3x-wider xp stream.  Kept behind
+    DPDFNET_TPU_PALLAS_V2=1 for future hardware where the VPU:MXU balance
+    differs; also only sound for the 'fast' tier (bf16 xp storage).
+    When enabled, the fused stack takes the inter-v2 path; intra v2 is
+    exercised directly by tests/benchmarks only.
+    """
+    env = os.environ.get("DPDFNET_TPU_PALLAS_V2")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
+def _pick_tile(N: int, cap: int) -> int:
+    """Row tile <= cap minimising padding: split N into ceil(N/cap)
+    near-equal chunks rounded up to a sublane multiple (8).
+
+    (The naive ``min(cap, N)`` pads e.g. N=2560 up to 2*2048 = 60% wasted
+    rows; this picks 2x1280 instead.)
+    """
+    n_tiles = -(-N // cap)
+    tile = -(-(-(-N // n_tiles)) // 8) * 8
+    return max(8, min(cap, tile))
+
+
 def interpret_default() -> bool:
     """Run kernels in interpreter mode (DPDFNET_TPU_PALLAS_INTERPRET=1).
 
@@ -194,7 +225,7 @@ def gru_bidir_tm(
     H = wh2.shape[0] // 2
     dtype = x_tm.dtype
 
-    tile = min(_TILE_N, max(8, N))
+    tile = _pick_tile(N, _TILE_N)
     n_pad = (-N) % tile
     if n_pad:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
@@ -228,6 +259,7 @@ def gru_bidir_tm(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(x_tm, x_tm, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype))
@@ -363,6 +395,7 @@ def dprnn_intra_block(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(x, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype),
@@ -440,7 +473,7 @@ def dprnn_inter_block(
     T, N, C = x_tm.shape
     dtype = x_tm.dtype
 
-    tile = min(_TILE_N, max(8, N))
+    tile = _pick_tile(N, _TILE_N)
     n_pad = (-N) % tile
     if n_pad:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
@@ -482,6 +515,7 @@ def dprnn_inter_block(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2,
@@ -518,7 +552,7 @@ def gru_scan_tm(
     H = wh.shape[0]
     dtype = x_tm.dtype
 
-    tile = min(_TILE_N, max(8, N))
+    tile = _pick_tile(N, _TILE_N)
     n_pad = (-N) % tile
     if n_pad:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
@@ -566,6 +600,7 @@ def gru_scan_tm(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2)
@@ -575,3 +610,334 @@ def gru_scan_tm(
         ys = ys[:, :N]
         h_last = h_last[:N]
     return ys, h_last
+
+
+# --------------------------------------------------------------------------- #
+# v2 DPRNN kernels: hoisted input projections + fc folded into the recurrence
+# --------------------------------------------------------------------------- #
+#
+# Profiling the v1 kernels on v5e showed the sequential walks spending ~half
+# their MXU cycles on work that need not be sequential at all:
+#
+# - the input projection x_t @ Wi runs inside the walk every step (for the
+#   intra kernel through direction-blockdiag weights that are half zeros);
+# - the fc epilogue runs as separate small K=64 dots.
+#
+# v2 restructures both:
+#
+# - intra: xp for EVERY bin is computed up front as a few large chunked GEMMs
+#   into a bf16 VMEM scratch; the walk's single dot per step is
+#   h @ [Wh2 | blockdiag(Wfc)] — gate pre-activations AND the fc partial
+#   products of the PREVIOUS step's hidden pair in one [tile,2C]x[2C,8C] pass.
+#   The epilogue (LN + residual) becomes pure VPU work.
+# - inter: xp is hoisted OUT of the kernel entirely (one XLA GEMM over the
+#   whole [T, N] plane); each step computes h_new, then one dot
+#   h_new @ [Wh | Wfc] yields the next step's gate pre-activations and this
+#   step's fc output together.
+#
+# Both kernels keep the same math as nn.gru_bidir/gru_seq + linear +
+# layer_norm + residual; the only numerical deviation from v1 is the bf16
+# rounding of the stored xp (within the 'fast' tier's bf16-MXU contract).
+
+
+def _intra_v2_kernel(T: int, C: int, precision, eps: float,
+                     x_ref, wic_ref, whb_ref, b_ref,
+                     bfc_ref, g_ref, bln_ref,
+                     out_ref, xp_scr, pf_scr, pb_scr):
+    tile = x_ref.shape[0]
+    C2 = 2 * C
+    H6 = 6 * C
+
+    # 1) hoist xp for every bin: both directions' projections share the same
+    #    input rows, so one dense [C, 6C] weight (gate-major columns) covers
+    #    them.  Per-bin dots are independent — the MXU pipelines them back to
+    #    back, unlike the walk's dependent chain.  The scratch is time-
+    #    leading because Mosaic only supports dynamic (walk-indexed) VMEM
+    #    addressing on the leading dim (sublane alignment on the others).
+    for t in range(T):
+        proj = jax.lax.dot_general(
+            x_ref[:, t, :], wic_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + b_ref[0:1, :]
+        xp_scr[t] = proj.astype(xp_scr.dtype)
+
+    # gate-major column mask: [r_f r_b z_f z_b n_f n_b] -> f-direction cols
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, H6), 1)
+    is_f = (col // C) % 2 == 0
+
+    # 2) sequential walk: one dot per step computes the gate pre-activations
+    #    (blockdiag Wh2) AND the fc partials of the previous hidden pair
+    #    (blockdiag Wfc columns).  Step 0's partials are of h=0 and land in
+    #    clamped slots that later steps overwrite.
+    def step(s, h):
+        dot = jax.lax.dot_general(
+            h, whb_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        hh = dot[:, :H6] + b_ref[1:2, :]
+        p = dot[:, H6:]
+        sf = jnp.maximum(s - 1, 0)
+        sb = jnp.minimum(T - s, T - 1)
+        pf_scr[pl.ds(sf, 1)] = p[:, :C][None]
+        pb_scr[pl.ds(sb, 1)] = p[:, C:][None]
+
+        xp_s = xp_scr[pl.ds(s, 1)].reshape(tile, H6).astype(jnp.float32)
+        xp_r = xp_scr[pl.ds(T - 1 - s, 1)].reshape(
+            tile, H6).astype(jnp.float32)
+        xp2 = jnp.where(is_f, xp_s, xp_r)
+
+        r = jax.nn.sigmoid(xp2[:, :C2] + hh[:, :C2])
+        z = jax.nn.sigmoid(xp2[:, C2:2 * C2] + hh[:, C2:2 * C2])
+        n = jnp.tanh(xp2[:, 2 * C2:] + r * hh[:, 2 * C2:])
+        return ((1.0 - z) * n + z * h).astype(jnp.float32)
+
+    h_fin = jax.lax.fori_loop(0, T, step, jnp.zeros((tile, C2), jnp.float32))
+    p_last = jax.lax.dot_general(
+        h_fin, whb_ref[:, H6:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    pf_scr[pl.ds(T - 1, 1)] = p_last[:, :C][None]
+    pb_scr[pl.ds(0, 1)] = p_last[:, C:][None]
+
+    # 3) epilogue: LN + residual, no dots (fc already accumulated)
+    for s in range(T):
+        y = pf_scr[s] + pb_scr[s] + bfc_ref[0:1, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(x_ref.dtype)
+        out_ref[:, s, :] = x_ref[:, s, :] + yn
+
+
+def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
+    """Derive the v2 intra weights from the v1 packed set + fc weight.
+
+    Returns (wi_cat [C, 6C], wh_big [2C, 8C]): wi_cat collapses the blockdiag
+    wi2's two row blocks (their nonzero columns are disjoint); wh_big appends
+    blockdiag(wfc_fw_half, wfc_bw_half) columns to wh2.
+    """
+    wi2, wh2 = packed["wi2"], packed["wh2"]
+    I2, H6 = wi2.shape
+    I = I2 // 2
+    C = wh2.shape[0] // 2
+    wi_cat = (wi2[:I] + wi2[I:]).astype(dtype)
+    fc_blk = jnp.zeros((2 * C, 2 * C), dtype)
+    fc_blk = fc_blk.at[:C, :C].set(wfc[:C].astype(dtype))
+    fc_blk = fc_blk.at[C:, C:].set(wfc[C:].astype(dtype))
+    wh_big = jnp.concatenate([wh2.astype(dtype), fc_blk], axis=1)
+    return wi_cat, wh_big
+
+
+# The kernel raises Mosaic's scoped-vmem limit to this value (v5e has
+# 128 MiB physical VMEM; the 16M default is a compiler heuristic, and the
+# allocator's real usage exceeds the naive buffer sum non-monotonically in
+# the tile size — measured 16.5M at tile 120 / 19.7M at tile 112, T=48).
+# The estimator budget below keeps the buffer sum at ~half the raised
+# limit, leaving slack for Mosaic's temporaries and XLA's own VMEM needs.
+_KERNEL_VMEM_LIMIT = 40 * 1024 * 1024
+_INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
+
+
+def _intra_v2_tile(T: int, C: int, xp_bytes: int) -> int:
+    """Largest row tile (multiple of 8, <=128) whose VMEM estimate fits:
+    x in/out double-buffered f32, xp scratch, two f32 partial scratches."""
+    for tile in range(128, 0, -8):
+        est = (4 * tile * T * C * 4          # x in (2 bufs) + out (2 bufs)
+               + tile * T * 6 * C * xp_bytes  # xp scratch
+               + 2 * tile * T * C * 4)        # pf/pb
+        if est <= _INTRA_V2_VMEM_BUDGET:
+            return tile
+    return 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "xp_bf16"))
+def dprnn_intra_block_v2(
+    x: Array,
+    wi_cat: Array,
+    wh_big: Array,
+    b2: Array,
+    bfc: Array,
+    g: Array,
+    bln: Array,
+    *,
+    precision: str = "default",
+    interpret: bool = False,
+    xp_bf16: bool = True,
+) -> Array:
+    """Fused DPRNN intra stage, v2 (see module comment).
+
+    x: [N, T, C]; weights from :func:`pack_intra_v2` + the v1 ``b2``.
+    Matches :func:`dprnn_intra_block` up to bf16 rounding of the hoisted
+    input projections (exactly, with ``xp_bf16=False``).
+    """
+    N, T, C = x.shape
+    dtype = x.dtype
+    xp_dtype = jnp.bfloat16 if xp_bf16 else jnp.float32
+
+    tile = _intra_v2_tile(T, C, 2 if xp_bf16 else 4)
+    n_pad = (-N) % tile
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
+    Np = N + n_pad
+
+    kern = functools.partial(
+        _intra_v2_kernel, T, C, _PRECISIONS[precision], 1e-5)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi_cat
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh_big
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
+        ],
+        out_specs=pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, T, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, tile, 6 * C), xp_dtype),               # xp (t-major)
+            pltpu.VMEM((T, tile, C), jnp.float32),                # fc fw parts
+            pltpu.VMEM((T, tile, C), jnp.float32),                # fc bw parts
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(x, wi_cat.astype(jnp.float32), wh_big.astype(jnp.float32),
+      b2.astype(jnp.float32), bfc.reshape(1, -1).astype(jnp.float32),
+      g.reshape(1, -1).astype(jnp.float32),
+      bln.reshape(1, -1).astype(jnp.float32))
+
+    return out[:N] if n_pad else out
+
+
+def _inter_v2_kernel(H: int, precision, eps: float,
+                     h0_ref, xp_ref, x_ref, whfc_ref, bh_ref,
+                     bfc_ref, g_ref, bln_ref,
+                     out_ref, hl_ref, h_scr, hh_scr):
+    """One inter step per grid cell.  The carried hh scratch holds the RAW
+    h @ Wh product computed by the PREVIOUS step's combined dot (bh added at
+    use), so the only dot on the critical path is h_new @ [Wh | Wfc]."""
+    t = pl.program_id(1)
+    H3 = 3 * H
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[0]
+        hh_scr[:] = jax.lax.dot_general(
+            h0_ref[0], whfc_ref[:, :H3], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    h = h_scr[:]
+    xp = xp_ref[0].astype(jnp.float32)
+    hh = hh_scr[:] + bh_ref[0:1, :]
+    r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
+    z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+    n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
+    h_new = (1.0 - z) * n + z * h
+
+    dot = jax.lax.dot_general(
+        h_new, whfc_ref[:], (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    hh_scr[:] = dot[:, :H3]
+    h_scr[:] = h_new.astype(h_scr.dtype)
+    hl_ref[0] = h_new.astype(h_scr.dtype)
+
+    x = x_ref[0]
+    y = dot[:, H3:] + bfc_ref[0:1, :]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+    out_ref[0] = x + yn.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def dprnn_inter_block_v2(
+    xp_tm: Array,
+    x_tm: Array,
+    h0: Array,
+    whfc: Array,
+    bh: Array,
+    bfc: Array,
+    g: Array,
+    bln: Array,
+    *,
+    precision: str = "default",
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused DPRNN inter stage, v2: input projections precomputed.
+
+    xp_tm: [T, N, 3H] = x_tm @ Wi + bi (any float dtype; bf16 halves the
+    stream bandwidth); x_tm: [T, N, C] residual input; whfc [C, 3H + C] =
+    [Wh | Wfc].  Returns (out_tm, h_last) matching
+    :func:`dprnn_inter_block`.
+    """
+    T, N, C = x_tm.shape
+    dtype = x_tm.dtype
+
+    tile = _pick_tile(N, _TILE_N)
+    n_pad = (-N) % tile
+    if n_pad:
+        xp_tm = jnp.pad(xp_tm, ((0, 0), (0, n_pad), (0, 0)))
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    tmap = lambda i, t: (t, i, 0)
+    kern = functools.partial(_inter_v2_kernel, C, _PRECISIONS[precision], 1e-5)
+
+    out, h_last = pl.pallas_call(
+        kern,
+        grid=(Np // tile, T),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # h0
+            pl.BlockSpec((1, tile, 3 * C), tmap,
+                         memory_space=pltpu.VMEM),                # xp block
+            pl.BlockSpec((1, tile, C), tmap,
+                         memory_space=pltpu.VMEM),                # x block
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # whfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bh
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # h_last
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Np, C), dtype),
+            jax.ShapeDtypeStruct((1, Np, C), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, C), dtype),                         # h carry
+            pltpu.VMEM((tile, 3 * C), jnp.float32),               # raw h @ Wh
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(h0[None], xp_tm, x_tm, whfc.astype(jnp.float32),
+      bh.reshape(1, -1).astype(jnp.float32),
+      bfc.reshape(1, -1).astype(jnp.float32),
+      g.reshape(1, -1).astype(jnp.float32),
+      bln.reshape(1, -1).astype(jnp.float32))
+
+    h_last = h_last[0]
+    if n_pad:
+        out = out[:, :N]
+        h_last = h_last[:N]
+    return out, h_last

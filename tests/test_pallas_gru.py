@@ -133,7 +133,10 @@ def test_dprnn_inter_block_kernel(N, T, C):
 
 def test_fused_dprnn_stack_forward(monkeypatch):
     """forward_spec with the fused time-major DPRNN stack (interpret mode)
-    matches the plain XLA path, outputs and carried state."""
+    matches the plain XLA path, outputs and carried state.
+
+    Pinned to the v1 (f32-grade) kernels via the 'high' matmul-precision
+    context; the v2 path is covered by test_fused_dprnn_stack_forward_v2."""
     from dpdfnet_tpu.config import get_config
     from dpdfnet_tpu.models.dpdfnet import forward_spec
     from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
@@ -152,10 +155,104 @@ def test_fused_dprnn_stack_forward(monkeypatch):
 
     monkeypatch.setenv("DPDFNET_TPU_PALLAS", "1")
     monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
-    out_f, st_f, _ = forward_spec(fused, cfg, spec, st)
+    with jax.default_matmul_precision("high"):
+        out_f, st_f, _ = forward_spec(fused, cfg, spec, st)
 
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_ref), atol=3e-5)
     for a, b in zip(jax.tree_util.tree_leaves(st_f),
                     jax.tree_util.tree_leaves(st_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 5, 16)])
+@pytest.mark.parametrize("xp_bf16", [False, True])
+def test_dprnn_intra_block_v2_kernel(N, T, C, xp_bf16):
+    """v2 (hoisted xp + fc folded into the walk) == the same composition;
+    exact with f32 xp storage, bf16-rounded with the default bf16 storage."""
+    rng = np.random.default_rng(6)
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+
+    yi = onn.gru_bidir(p_fw, p_bw, x)
+    yi = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yi))
+    ref = x + yi
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    wi_cat, wh_big = pallas_gru.pack_intra_v2({"wi2": wi2, "wh2": wh2}, wfc)
+    got = pallas_gru.dprnn_intra_block_v2(
+        x, wi_cat, wh_big, b2, bfc, g, bln,
+        interpret=True, xp_bf16=xp_bf16)
+    atol = 5e-2 if xp_bf16 else 1e-5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
+
+
+@pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 5, 16)])
+def test_dprnn_inter_block_v2_kernel(N, T, C):
+    """v2 (external xp, fc deferred into the recurrence dot) is exact."""
+    rng = np.random.default_rng(7)
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    yt, hl_ref = onn.gru_seq(p, x, h0=h0)
+    yt = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yt))
+    ref = x + yt
+
+    x_tm = jnp.swapaxes(x, 0, 1)
+    xp_tm = x_tm @ p["wi"] + p["bi"]
+    whfc = jnp.concatenate([p["wh"], wfc], axis=1)
+    out, hl = pallas_gru.dprnn_inter_block_v2(
+        xp_tm, x_tm, h0, whfc, p["bh"], bfc, g, bln, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
+
+
+def test_pick_tile_divisors():
+    """Row tiling splits into near-equal multiples of 8, no 2x padding."""
+    for N, cap in [(2560, 2048), (3072, 2048), (1280, 2048), (11, 2048),
+                   (4096, 2048), (2049, 2048)]:
+        tile = pallas_gru._pick_tile(N, cap)
+        assert tile <= cap and tile % 8 == 0 or tile == max(8, N)
+        n_pad = (-N) % tile
+        assert n_pad < max(tile, 16), (N, cap, tile, n_pad)
+        # waste bounded: padding never doubles the work
+        assert (N + n_pad) <= 2 * N
+
+
+def test_fused_dprnn_stack_forward_v2(monkeypatch):
+    """forward_spec on the (env-gated) v2 inter-kernel path matches the
+    plain XLA path within the fast tier's bf16 tolerance."""
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_V2", "1")
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+    from dpdfnet_tpu.models.fuse import prepare_inference_params
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.models.state import init_state
+
+    rng = np.random.default_rng(8)
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=3)
+    fused = prepare_inference_params(params, cfg)
+    spec = jnp.asarray(
+        rng.normal(size=(2, 6, cfg.freq_bins, 2)).astype(np.float32))
+    st = init_state(cfg, batch=2)
+
+    out_ref, st_ref, _ = forward_spec(params, cfg, spec, st)
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS", "1")
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    out_f, st_f, _ = forward_spec(fused, cfg, spec, st)
+
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_ref), atol=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f),
+                    jax.tree_util.tree_leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
