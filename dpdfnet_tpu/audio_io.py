@@ -17,7 +17,11 @@ import numpy as np
 
 _SF_EXTENSIONS = frozenset({".flac", ".ogg", ".aiff", ".aif", ".au", ".snd"})
 _WAV_EXTENSIONS = frozenset({".wav", ".wave"})
-SUPPORTED_EXTENSIONS = _WAV_EXTENSIONS | _SF_EXTENSIONS
+# Compressed containers decoded via pydub or an ffmpeg binary when either
+# is available (same optional tier as the reference's pydub+ffmpeg path,
+# /root/reference/package/src/dpdfnet/api.py:209-212).
+_FFMPEG_EXTENSIONS = frozenset({".mp3", ".m4a", ".aac", ".wma", ".opus"})
+SUPPORTED_EXTENSIONS = _WAV_EXTENSIONS | _SF_EXTENSIONS | _FFMPEG_EXTENSIONS
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -140,8 +144,64 @@ def read_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
             ) from None
         audio, sr = sf.read(str(p), always_2d=False)
         return np.asarray(audio, dtype=np.float32), int(sr)
+    if suffix in _FFMPEG_EXTENSIONS:
+        return _read_compressed(p, suffix)
     supported = ", ".join(sorted(SUPPORTED_EXTENSIONS))
     raise ValueError(
         f"Unsupported audio format {suffix!r} for file: {p}\n"
         f"Supported extensions: {supported}"
     )
+
+
+def _read_compressed(p: Path, suffix: str) -> Tuple[np.ndarray, int]:
+    """Decode mp3/m4a/aac/wma/opus via pydub, falling back to a raw
+    ffmpeg-CLI pipe (reference: pydub+ffmpeg only, api.py:222-236; the
+    direct ffmpeg path here drops the pydub dependency when the binary is
+    on PATH)."""
+    try:
+        from pydub import AudioSegment
+    except ImportError:
+        pass
+    else:
+        seg = AudioSegment.from_file(str(p))
+        sr = int(seg.frame_rate)
+        samples = np.array(seg.get_array_of_samples(), dtype=np.float32)
+        samples /= float(1 << (seg.sample_width * 8 - 1))
+        if seg.channels > 1:
+            samples = samples.reshape(-1, seg.channels)
+        return samples, sr
+
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise ImportError(
+            f"Reading {suffix!r} files requires either the 'pydub' package "
+            f"(with ffmpeg) or an 'ffmpeg' binary on PATH.\n"
+            f"Install one of them, or convert the file to .wav/.flac."
+        ) from None
+    probe = subprocess.run(
+        [ffmpeg, "-hide_banner", "-i", str(p), "-f", "f32le",
+         "-acodec", "pcm_f32le", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, check=False)
+    if probe.returncode != 0:
+        raise ValueError(
+            f"ffmpeg failed to decode {p}: "
+            f"{probe.stderr.decode('utf-8', 'replace')[-500:]}")
+    # channel count / rate from the stderr stream info line
+    import re
+
+    m = re.search(rb"(\d+) Hz, ([^,]+),", probe.stderr)
+    if m is None:
+        raise ValueError(f"could not parse ffmpeg stream info for {p}")
+    sr = int(m.group(1))
+    layout = m.group(2).decode()
+    channels = {"mono": 1, "stereo": 2}.get(
+        layout, int(re.match(r"(\d+)", layout).group(1))
+        if re.match(r"\d", layout) else 2)
+    samples = np.frombuffer(probe.stdout, dtype="<f4").astype(np.float32)
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels)
+    return samples, sr

@@ -50,6 +50,11 @@ class ModelConfig:
     upsample: str = "subpixel"      # decoder upsampling: subpixel | transpose
     mask_method: str = "before_df"  # before_df | separate | after_df
     emb_gru_skip: str = "none"      # none | identity | groupedlinear
+    # >1 switches every SqueezedGRU stack to grouped GRU layers with
+    # channel shuffle between layers.  Mirrors the reference quirk exactly:
+    # `group_gru` only *selects* GroupedGRU, whose group count stays at its
+    # own default of 4 (model/modules.py:1061-1062 with :1186 groups=4).
+    group_gru: int = 1
 
     # ------------------------------------------------------------------ #
     # Derived shapes

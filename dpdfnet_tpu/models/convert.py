@@ -221,9 +221,22 @@ def _dprnn(sd: _SD, prefix: str, blocks: int):
 
 def _squeezed(sd: _SD, prefix: str, layers: int, groups: int, has_out: bool,
               skip: str = "none") -> Dict:
+    if sd.has(f"{prefix}.gru.grus.0.layers.0.weight_ih_l0"):
+        # group_gru > 1: the stack is a GroupedGRU — per-layer lists of
+        # per-group nn.GRUs (model/modules.py:1216-1220, 1135-1137)
+        grus = []
+        for k in range(layers):
+            gg = 0
+            while sd.has(f"{prefix}.gru.grus.{k}.layers.{gg}.weight_ih_l0"):
+                gg += 1
+            grus.append({"groups": [
+                _gru_layer(sd, f"{prefix}.gru.grus.{k}.layers.{g}", 0)
+                for g in range(gg)]})
+    else:
+        grus = [_gru_layer(sd, f"{prefix}.gru", k) for k in range(layers)]
     p = {
         "lin_in": _gl(sd, f"{prefix}.linear_in.0", groups),
-        "grus": [_gru_layer(sd, f"{prefix}.gru", k) for k in range(layers)],
+        "grus": grus,
     }
     if has_out:
         p["lin_out"] = _gl(sd, f"{prefix}.linear_out.0", groups)

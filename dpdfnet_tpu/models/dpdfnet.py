@@ -231,9 +231,21 @@ def _squeezed_gru(
             f"state carries {len(hs)} GRU hiddens but this SqueezedGRU has "
             f"{len(p['grus'])} layers — state from a different configuration?")
     new_hs: List[Array] = []
-    for gp, h0 in zip(p["grus"], hs):
-        h, h_last = onn.gru_seq(gp, h, h0=h0)
-        new_hs.append(h_last)
+    n_layers = len(p["grus"])
+    for li, (gp, h0) in enumerate(zip(p["grus"], hs)):
+        if "groups" in gp:
+            # grouped GRU layer (cfg.group_gru > 1): independent GRUs over
+            # channel groups, shuffled between layers but not after the
+            # last (reference GroupedGRU, model/modules.py:1240-1252).
+            # Layer state stays one [B, H] vector: group-major chunks.
+            g = len(gp["groups"])
+            h0s = list(jnp.split(h0, g, axis=-1))
+            h, h_lasts = onn.grouped_gru_seq(
+                gp["groups"], h, h0s=h0s, shuffle_out=li < n_layers - 1)
+            new_hs.append(jnp.concatenate(h_lasts, axis=-1))
+        else:
+            h, h_last = onn.gru_seq(gp, h, h0=h0)
+            new_hs.append(h_last)
     if "lin_out" in p:
         h = onn.grouped_linear(p["lin_out"], h, act="relu")
     # optional gru_skip applied to the raw input after linear_out

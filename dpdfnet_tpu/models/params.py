@@ -83,9 +83,16 @@ def _dprnn_block(kg, c):
     }
 
 
-def _squeezed(kg, i, h, o, layers, g, skip="none"):
-    p = {"lin_in": _gl(kg, i, h, g),
-         "grus": [_gru(kg, h, h) for _ in range(layers)]}
+def _squeezed(kg, i, h, o, layers, g, skip="none", group_gru=1):
+    if group_gru > 1:
+        # reference quirk: group_gru>1 selects GroupedGRU, which keeps its
+        # own default of 4 groups (model/modules.py:1061-1062, :1186)
+        gg = 4
+        grus = [{"groups": [_gru(kg, h // gg, h // gg) for _ in range(gg)]}
+                for _ in range(layers)]
+    else:
+        grus = [_gru(kg, h, h) for _ in range(layers)]
+    p = {"lin_in": _gl(kg, i, h, g), "grus": grus}
     if o is not None:
         p["lin_out"] = _gl(kg, h, o, g)
     if skip == "groupedlinear":
@@ -120,7 +127,7 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
         "dprnn_df": [_dprnn_block(kg, C) for _ in range(cfg.dprnn_blocks)],
         "df_fc_emb": _gl(kg, C * nb // 2, emb_in, elg),
         "emb_gru": _squeezed(kg, 2 * emb_in, H, emb_out, 1, lg,
-                             skip=cfg.emb_gru_skip),
+                             skip=cfg.emb_gru_skip, group_gru=cfg.group_gru),
         "lsnr": _lin(kg, emb_out, 1),
     }
     if cfg.hr:
@@ -129,7 +136,7 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
     erb_dec = {
         "emb_gru": _squeezed(kg, emb_out, H,
                              emb_out if not cfg.hr else cfg.emb_dim, 2, lg,
-                             skip=cfg.emb_gru_skip),
+                             skip=cfg.emb_gru_skip, group_gru=cfg.group_gru),
         # pathway 1x1 convs are depthwise (see models/dpdfnet.py pconv)
         "conv3p": _conv(kg, 1, 1, 1, C),
         "conv2p": _conv(kg, 1, 1, 1, C),
@@ -153,7 +160,8 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
 
     df_dec = {
         # df_gru keeps the reference's default linear_groups=8
-        "df_gru": _squeezed(kg, emb_out, H, None, 2, 8),
+        "df_gru": _squeezed(kg, emb_out, H, None, 2, 8,
+                            group_gru=cfg.group_gru),
         "df_skip": _gl(kg, emb_out, H, lg),
         "df_out": _gl(kg, H, nb * 2 * cfg.df_order, lg),
         "df_convp": _conv(kg, cfg.df_kt, 1, C // 2, 2 * cfg.df_order, pw=True),

@@ -416,8 +416,11 @@ def grouped_gru_seq(
         hs.append(h)
     out = jnp.concatenate(ys, axis=-1)
     if shuffle_out:
+        # reference GroupedGRU's between-layer channel shuffle:
+        # view [B,T,C/G,G] -> transpose -> [B,T,G,C/G] -> flat
+        # (model/modules.py:1247-1249)
         B, T, C = out.shape
-        out = out.reshape(B, T, g, C // g).swapaxes(-1, -2).reshape(B, T, C)
+        out = out.reshape(B, T, C // g, g).swapaxes(-1, -2).reshape(B, T, C)
     return out, hs
 
 

@@ -183,3 +183,112 @@ def test_grouped_gru_matches_torch_grouped_layer():
         })
     y, hs = onn.grouped_gru_seq(ps, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+
+def test_grouped_gru_stack_matches_reference_groupedgru():
+    """2-layer GroupedGRU incl. the between-layer channel shuffle
+    (model/modules.py:1240-1252)."""
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/reference/model")
+    mods = importlib.import_module("modules")
+
+    torch.manual_seed(8)
+    G, C, L = 4, 16, 3
+    ggru = mods.GroupedGRU(C, C, num_layers=L, groups=G, batch_first=True)
+    ggru.eval()
+    x = torch.randn(2, 9, C)
+    with torch.no_grad():
+        y_ref, _ = ggru(x)
+
+    def layer_params(glayer):
+        return [{
+            "wi": jnp.asarray(g.weight_ih_l0.detach().numpy().T),
+            "bi": jnp.asarray(g.bias_ih_l0.detach().numpy()),
+            "wh": jnp.asarray(g.weight_hh_l0.detach().numpy().T),
+            "bh": jnp.asarray(g.bias_hh_l0.detach().numpy()),
+        } for g in glayer.layers]
+
+    h = jnp.asarray(x.numpy())
+    for li, glayer in enumerate(ggru.grus):
+        h, _ = onn.grouped_gru_seq(layer_params(glayer), h,
+                                   shuffle_out=li < L - 1)
+    np.testing.assert_allclose(np.asarray(h), y_ref.numpy(), atol=1e-5)
+
+
+def test_squeezed_gru_group_gru_matches_reference():
+    """SqueezedGRU_S with group_gru=2 (the reference's grouped-GRU stack
+    selector, model/modules.py:1061-1062) vs our _squeezed_gru via the
+    checkpoint converter path; also checks chunked-state invariance."""
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+    import sys
+    from functools import partial
+
+    sys.path.insert(0, "/root/reference/model")
+    mods = importlib.import_module("modules")
+
+    from dpdfnet_tpu.models import convert as cv
+    from dpdfnet_tpu.models.dpdfnet import _squeezed_gru
+
+    torch.manual_seed(9)
+    I, H, O, L = 32, 16, 24, 2
+    sq = mods.SqueezedGRU_S(
+        I, H, output_size=O, num_layers=L, linear_groups=8,
+        batch_first=True, group_gru=2,
+        linear_act_layer=partial(torch.nn.ReLU, inplace=True))
+    sq.eval()
+    x = torch.randn(2, 10, I)
+    with torch.no_grad():
+        y_ref, _ = sq(x)
+
+    sd = cv._SD({"m." + k: v.detach().numpy()
+                 for k, v in sq.state_dict().items()})
+    p = jax.tree_util.tree_map(jnp.asarray, cv._squeezed(sd, "m", L, 8, True))
+
+    hs = [jnp.zeros((2, H), jnp.float32) for _ in range(L)]
+    y, new_hs = _squeezed_gru(p, jnp.asarray(x.numpy()), hs)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+    # chunked execution with carried state must match the full pass
+    y1, hs1 = _squeezed_gru(p, jnp.asarray(x.numpy()[:, :4]), hs)
+    y2, _ = _squeezed_gru(p, jnp.asarray(x.numpy()[:, 4:]), hs1)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
+        y_ref.numpy(), atol=1e-5)
+
+
+def test_full_forward_group_gru_chunk_invariance():
+    """A full model with cfg.group_gru=2 runs and its streamed (chunked)
+    execution matches the single-pass output.  The reference offers
+    group_gru only offline (the streaming graph never wires it); here the
+    one forward covers both modes."""
+    import dataclasses
+
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models import state as state_lib
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+    from dpdfnet_tpu.models.params import init_params
+
+    cfg = dataclasses.replace(get_config("dpdfnet2"), group_gru=2)
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(4)
+    spec = jnp.asarray(
+        rng.normal(size=(1, 12, cfg.freq_bins, 2)).astype(np.float32) * 0.1)
+
+    st = state_lib.init_state(cfg, batch=1)
+    out, _, _ = forward_spec(params, cfg, spec, st)
+
+    st2 = state_lib.init_state(cfg, batch=1)
+    outs = []
+    for lo, hi in ((0, 5), (5, 6), (6, 12)):
+        o, st2, _ = forward_spec(params, cfg, spec[:, lo:hi], st2)
+        outs.append(np.asarray(o))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), np.asarray(out), atol=1e-5)

@@ -397,7 +397,9 @@ def test_wav_rejects_garbage(tmp_path):
 
 
 def test_unsupported_extension(tmp_path):
-    p = tmp_path / "x.mp3"
+    # (.mp3 is no longer an example of "unsupported" — it now routes to
+    # the optional pydub/ffmpeg decoders; see the compressed-audio tests)
+    p = tmp_path / "x.xyz"
     p.write_bytes(b"\xff\xfb")
     with pytest.raises(ValueError, match="Unsupported audio format"):
         audio_io.read_audio(p)
@@ -486,3 +488,62 @@ def test_enhance_quality_kwarg_plumbing(monkeypatch):
     monkeypatch.setattr(api, "_get_engine", fake_get_engine)
     api.enhance(np.zeros(1600, np.float32), 16000, quality="fast")
     assert seen["quality"] == "fast"
+
+
+def test_read_compressed_via_fake_pydub(monkeypatch, tmp_path):
+    """mp3-family decode routes through pydub when importable
+    (reference api.py:222-232 semantics: scale by 2^(8*width-1),
+    reshape channels)."""
+    import sys
+    import types
+
+    class FakeSegment:
+        frame_rate = 22050
+        sample_width = 2
+        channels = 2
+
+        @staticmethod
+        def from_file(path):
+            return FakeSegment()
+
+        def get_array_of_samples(self):
+            return [0, 16384, -32768, 32767]
+
+    fake = types.ModuleType("pydub")
+    fake.AudioSegment = FakeSegment
+    monkeypatch.setitem(sys.modules, "pydub", fake)
+
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\0")
+    y, sr = audio_io.read_audio(p)
+    assert sr == 22050
+    assert y.shape == (2, 2)
+    np.testing.assert_allclose(
+        y, [[0.0, 0.5], [-1.0, 32767.0 / 32768.0]], atol=1e-6)
+
+
+def test_read_compressed_error_without_decoder(monkeypatch, tmp_path):
+    """Without pydub or an ffmpeg binary the error names both options
+    (mirrors the reference's pip-install guidance, api.py:225-229)."""
+    import builtins
+    import shutil
+
+    real_import = builtins.__import__
+
+    def no_pydub(name, *a, **k):
+        if name == "pydub":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pydub)
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    p = tmp_path / "x.opus"
+    p.write_bytes(b"\0")
+    with pytest.raises(ImportError, match="pydub.*ffmpeg|ffmpeg.*pydub"):
+        audio_io.read_audio(p)
+
+
+def test_supported_extensions_cover_reference_set():
+    ref = {".wav", ".flac", ".ogg", ".aiff", ".aif", ".au", ".snd",
+           ".mp3", ".m4a", ".aac", ".wma", ".opus"}
+    assert ref <= set(audio_io.SUPPORTED_EXTENSIONS)
