@@ -72,6 +72,9 @@ class Engine:
         seg_frames: int = 128,
         fuse: bool = True,
     ):
+        from ..utils import compile_cache
+
+        compile_cache.enable()
         self.cfg = cfg
         if fuse:
             from ..models.fuse import prepare_inference_params

@@ -26,6 +26,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent compilation cache: model-forward CPU compiles dominate suite
+# time (especially on small containers); cache them across runs.
+from dpdfnet_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 REFERENCE_ROOT = "/root/reference"
 
 
