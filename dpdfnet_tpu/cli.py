@@ -121,6 +121,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--batch", type=int, default=32)
     p_bench.add_argument("--seconds", type=float, default=10.0)
     p_bench.add_argument("--reps", type=int, default=5)
+    p_bench.add_argument("--precision", default="high",
+                         choices=["default", "high", "highest"],
+                         help="Matmul precision tier to bench "
+                              "(default tier of the API is 'high').")
     p_bench.add_argument("--random-weights", action="store_true",
                          help="Use random weights (no download needed).")
     p_bench.add_argument("--streaming", action="store_true",
@@ -288,11 +292,13 @@ def _run_bench(args: argparse.Namespace) -> int:
         profile_cm = jax.profiler.trace(str(args.profile))
     with profile_cm:
         if args.streaming:
-            result = run_stream_bench(model=args.model, streams=args.streams)
+            result = run_stream_bench(model=args.model, streams=args.streams,
+                                      precision=args.precision)
         else:
             result = run_bench(model=args.model, batch=args.batch,
                                seconds=args.seconds, reps=args.reps,
-                               random_weights=args.random_weights)
+                               random_weights=args.random_weights,
+                               precision=args.precision)
     print(result)
     if args.profile is not None:
         print(f"profiler trace written to: {args.profile}", file=sys.stderr)

@@ -52,6 +52,17 @@ _PRECISIONS = {
 _TILE_N = 2048
 
 
+def _inter_ts() -> int:
+    """Recurrence steps per grid cell in the DPRNN inter kernel
+    (override: DPDFNET_TPU_INTER_TS).
+
+    TS>1 amortises the pipeline's per-cell bookkeeping; measured on v5e
+    (dpdfnet8_48khz_hr b32 'default', with intra tile 256): TS=1 1047*,
+    TS=4 1156, TS=8 1151, TS=16 1146 xRT (*TS=1 measured at intra tile
+    128 was 1018; the TS and tile effects are nearly independent)."""
+    return int(os.environ.get("DPDFNET_TPU_INTER_TS", "4"))
+
+
 def enabled() -> bool:
     """Use the Pallas kernel? Overridable via DPDFNET_TPU_PALLAS=0/1."""
     env = os.environ.get("DPDFNET_TPU_PALLAS")
@@ -336,7 +347,17 @@ def _intra_block_kernel(T: int, C: int, precision, eps: float,
         out_ref[:, s, :] = x_ref[:, s, :] + yn
 
 
-_INTRA_TILE = 128
+def _intra_tile() -> int:
+    """Row tile of the intra kernel (override: DPDFNET_TPU_INTRA_TILE)."""
+    return int(os.environ.get("DPDFNET_TPU_INTRA_TILE", str(_INTRA_TILE)))
+
+
+# Measured on v5e (dpdfnet8_48khz_hr b32 'default', inter TS=4/8):
+# tile 64 -> 893, 128 -> 1046, 256 -> 1156, 384 -> 926 (!), 512 -> 1156 xRT.
+# 256 is the sweet spot that still fits the stock 40M scoped-vmem limit
+# (384 needs 54M and measures anomalously slow; 512 needs 72M for parity
+# with 256 — not worth the limit raise).
+_INTRA_TILE = 256
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
@@ -363,7 +384,7 @@ def dprnn_intra_block(
     N, T, C = x.shape
     dtype = x.dtype
 
-    tile = min(_INTRA_TILE, max(8, N))
+    tile = min(_intra_tile(), max(8, N))
     n_pad = (-N) % tile
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
@@ -405,49 +426,54 @@ def dprnn_intra_block(
     return out[:N] if n_pad else out
 
 
-def _inter_block_kernel(H: int, precision, eps: float,
+def _inter_block_kernel(TS: int, H: int, precision, eps: float,
                         h0_ref, x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
                         out_ref, hl_ref, h_scr):
-    """One DPRNN inter step per grid cell with the epilogue fused:
+    """``TS`` DPRNN inter steps per grid cell with the epilogue fused:
     ``out[t] = x[t] + LN(FC(h_t))``.  Unlike the intra stage the GRU is
     unidirectional, so the epilogue applies as soon as ``h_t`` exists and
-    the hidden sequence never touches HBM."""
+    the hidden sequence never touches HBM.  TS > 1 amortises the
+    pipeline's per-cell bookkeeping over several recurrence steps (the
+    inter rows are B*Fq ~ 1-3k, so even TS=8 blocks stay far below the
+    scoped-vmem budget)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         h_scr[:] = h0_ref[0]
 
-    x = x_ref[0]
     h = h_scr[:]
-    xp = jax.lax.dot_general(
-        x, wi_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + b_ref[0:1, :]
-    hh = jax.lax.dot_general(
-        h, wh_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + b_ref[1:2, :]
-    r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-    z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
-    n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
-    h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
+    for s in range(TS):
+        x = x_ref[s]
+        xp = jax.lax.dot_general(
+            x, wi_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + b_ref[0:1, :]
+        hh = jax.lax.dot_general(
+            h, wh_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + b_ref[1:2, :]
+        r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
+        z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+        n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
+        h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
+
+        y = jax.lax.dot_general(
+            h, wfc_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ) + bfc_ref[0:1, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+        out_ref[s] = x + yn.astype(x.dtype)
     h_scr[:] = h
     hl_ref[0] = h
 
-    y = jax.lax.dot_general(
-        h, wfc_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + bfc_ref[0:1, :]
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-    yn = (y - mu) * jax.lax.rsqrt(var + eps)
-    yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-    out_ref[0] = x + yn.astype(x.dtype)
 
-
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("precision", "interpret", "ts"))
 def dprnn_inter_block(
     x_tm: Array,
     h0: Array,
@@ -462,6 +488,7 @@ def dprnn_inter_block(
     *,
     precision: str = "high",
     interpret: bool = False,
+    ts: int | None = None,
 ) -> Tuple[Array, Array]:
     """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
 
@@ -480,18 +507,24 @@ def dprnn_inter_block(
         h0 = jnp.pad(h0, ((0, n_pad), (0, 0)))
     Np = N + n_pad
 
+    # steps per grid cell: largest power of two <= ts dividing T
+    # (T is a segment/bucket size — a power of two in every engine path)
+    TS = _inter_ts() if ts is None else ts
+    while TS > 1 and T % TS:
+        TS //= 2
+
     b2 = jnp.stack([bi, bh]).astype(dtype)
     tmap = lambda i, t: (t, i, 0)
     kern = functools.partial(
-        _inter_block_kernel, C, _PRECISIONS[precision], 1e-5)
+        _inter_block_kernel, TS, C, _PRECISIONS[precision], 1e-5)
 
     out, h_last = pl.pallas_call(
         kern,
-        grid=(Np // tile, T),
+        grid=(Np // tile, T // TS),
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),                # h0
-            pl.BlockSpec((1, tile, C), tmap,
+            pl.BlockSpec((TS, tile, C), tmap,
                          memory_space=pltpu.VMEM),                # x block
             pl.BlockSpec(memory_space=pltpu.VMEM),                # wi
             pl.BlockSpec(memory_space=pltpu.VMEM),                # wh
@@ -502,7 +535,7 @@ def dprnn_inter_block(
             pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
         ],
         out_specs=[
-            pl.BlockSpec((1, tile, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TS, tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),                # h_last
         ],
@@ -734,7 +767,8 @@ def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
 # the tile size — measured 16.5M at tile 120 / 19.7M at tile 112, T=48).
 # The estimator budget below keeps the buffer sum at ~half the raised
 # limit, leaving slack for Mosaic's temporaries and XLA's own VMEM needs.
-_KERNEL_VMEM_LIMIT = 40 * 1024 * 1024
+_KERNEL_VMEM_LIMIT = int(os.environ.get(
+    "DPDFNET_TPU_KERNEL_VMEM", 40 * 1024 * 1024))
 _INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
 
 

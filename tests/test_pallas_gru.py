@@ -256,3 +256,29 @@ def test_fused_dprnn_stack_forward_v2(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(st_f),
                     jax.tree_util.tree_leaves(st_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+@pytest.mark.parametrize("T,ts", [(12, 4), (16, 8), (10, 8)])
+def test_dprnn_inter_block_kernel_multi_step(monkeypatch, T, ts):
+    """TS > 1 (multiple recurrence steps per grid cell) is exact, including
+    the fallback halving when TS does not divide T."""
+    monkeypatch.setenv("DPDFNET_TPU_INTER_TS", str(ts))
+    rng = np.random.default_rng(11)
+    N, C = 9, 8
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    yt, hl_ref = onn.gru_seq(p, x, h0=h0)
+    yt = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yt))
+    ref = x + yt
+
+    out, hl = pallas_gru.dprnn_inter_block(
+        jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
