@@ -21,7 +21,10 @@ from dpdfnet_tpu.runtime.bench import run_bench  # noqa: E402
 
 def main() -> int:
     model = os.environ.get("BENCH_MODEL", "dpdfnet8_48khz_hr")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # b256 x 10 s is the measured throughput sweet spot on one v5e
+    # (1530 xRT vs 1325 b128 / 1211 b320 (HBM pressure); reproducible
+    # to +-0.1%).  Larger segments (256 frames) OOM HBM at this batch.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     precision = os.environ.get("BENCH_PRECISION", "default")
