@@ -284,7 +284,7 @@ def gru_bidir_tm(
 def _intra_block_kernel(T: int, C: int, precision, eps: float,
                         x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
-                        out_ref, scrf, scrb):
+                        out_ref, scrf, scrb, x2s):
     """One DPRNN intra pass, fully VMEM-resident per row tile.
 
     x block is [tile, T, C] in the model's natural row-major layout (rows =
@@ -298,53 +298,72 @@ def _intra_block_kernel(T: int, C: int, precision, eps: float,
     """
     tile = x_ref.shape[0]
     C2 = 2 * C
+    # Sequence chunk: all dynamic x/out accesses on the (tiled) middle dim
+    # happen at provably 8-aligned bases so bf16's (2,1) sublane packing is
+    # legal; offsets within a chunk are static.  CH=1 falls back to the
+    # per-step form (f32-only — the bf16 wrapper upcasts when T % 8 != 0).
+    CH = 8 if T % 8 == 0 else 1
 
-    # Recurrence via fori_loop (compact code, reused stack slots — a static
-    # unroll was measured to leak one [tile, 6C] stack slot per iteration
-    # and blow the 16M scoped-vmem limit).  Hidden-pair history lands in the
-    # time-leading scratches; dynamic stores are only supported on the
-    # leading dim.
-    def step(s, h):
-        xf = x_ref[:, pl.ds(s, 1), :].reshape(tile, C)
-        xb = x_ref[:, pl.ds(T - 1 - s, 1), :].reshape(tile, C)
-        x2 = jnp.concatenate([xf, xb], axis=-1)                  # [tile, 2C]
-        xp = jax.lax.dot_general(
-            x2, wi_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[0:1, :]
-        hh = jax.lax.dot_general(
-            h, wh_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[1:2, :]
-        r = jax.nn.sigmoid(xp[:, :C2] + hh[:, :C2])
-        z = jax.nn.sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
-        n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
-        h = ((1.0 - z) * n + z * h).astype(x_ref.dtype)
-        hf = h[:, :C]
-        hb = h[:, C:]
-        scrf[pl.ds(s, 1)] = hf[None]
-        scrb[pl.ds(T - 1 - s, 1)] = hb[None]
+    # Recurrence via fori_loop over chunks (compact code, reused stack
+    # slots — a full static unroll was measured to leak one [tile, 6C]
+    # stack slot per iteration and blow the scoped-vmem limit).  The
+    # hidden-pair history lands in the time-leading scratches; dynamic
+    # stores are supported on the leading dim for any dtype.
+    def chunk(ci, h):
+        base = pl.multiple_of(ci * CH, CH)
+        rbase = pl.multiple_of(T - CH - ci * CH, CH)
+        xf_c = x_ref[:, pl.ds(base, CH), :]                   # [tile, CH, C]
+        xb_c = x_ref[:, pl.ds(rbase, CH), :]
+        for k in range(CH):
+            # Stage the two chunk slices through a tiny scratch instead of
+            # jnp.concatenate: concat of offset-layout vector slices is
+            # "offset mismatch on non-concat dimension" in Mosaic; stores
+            # relayout their value, so the read-back is a clean [tile, 2C].
+            x2s[:, :C] = xf_c[:, k, :]
+            x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+            x2 = x2s[:]
+            xp = jax.lax.dot_general(
+                x2, wi_ref[:], (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            ) + b_ref[0:1, :]
+            hh = jax.lax.dot_general(
+                h, wh_ref[:], (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            ) + b_ref[1:2, :]
+            r = jax.nn.sigmoid(xp[:, :C2] + hh[:, :C2])
+            z = jax.nn.sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+            n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+            h = ((1.0 - z) * n + z * h).astype(x_ref.dtype)
+            # leading-dim dynamic stores are legal for any dtype.  Slice
+            # the 2-D carry BEFORE expanding dims: a lane slice of a 3-D
+            # value lowers as an (unsupported) gather inside the loop.
+            hf = h[:, :C]
+            hb = h[:, C:]
+            scrf[pl.ds(base + k, 1)] = hf[None]
+            scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
         return h
 
-    jax.lax.fori_loop(0, T, step, jnp.zeros((tile, C2), x_ref.dtype))
+    jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), x_ref.dtype))
 
-    # Epilogue per (static) time step so live temporaries stay [tile, C]
-    # (a single whole-buffer fc was measured to blow the scoped-vmem stack):
-    # fc over the concat [ys_fw | ys_bw] as two half-dots, LayerNorm,
-    # residual with the x block still resident.
-    for s in range(T):
-        y = jax.lax.dot_general(
-            scrf[s], wfc_ref[:C], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            scrb[s], wfc_ref[C:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + bfc_ref[0:1, :]
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-        yn = (y - mu) * jax.lax.rsqrt(var + eps)
-        yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(x_ref.dtype)
-        out_ref[:, s, :] = x_ref[:, s, :] + yn
+    # Epilogue per chunk of (static) time steps so live temporaries stay
+    # ~[tile, CH, C] (a single whole-buffer fc was measured to blow the
+    # scoped-vmem stack): fc over the concat [ys_fw | ys_bw] as two
+    # half-dots, LayerNorm, residual with the x block still resident.
+    for c0 in range(0, T, CH):
+        x_c = x_ref[:, pl.ds(c0, CH), :]                      # [tile, CH, C]
+        for k in range(CH):
+            y = jax.lax.dot_general(
+                scrf[c0 + k], wfc_ref[:C], (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                scrb[c0 + k], wfc_ref[C:], (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            ) + bfc_ref[0:1, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            yn = (y - mu) * jax.lax.rsqrt(var + eps)
+            yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(x_ref.dtype)
+            out_ref[:, c0 + k, :] = x_c[:, k, :] + yn
 
 
 def _intra_tile() -> int:
@@ -382,6 +401,17 @@ def dprnn_intra_block(
     + residual as used by ``models.dpdfnet._dprnn_block``.
     """
     N, T, C = x.shape
+    if x.dtype == jnp.bfloat16 and not interpret:
+        # Run the intra stage in f32 even under bf16 compute: the kernel is
+        # MXU-bound (dots round to bf16 on the MXU regardless), so bf16
+        # streams would not speed it up — and this Mosaic version
+        # miscompiles/rejects several bf16 vector ops the kernel needs
+        # (dynamic packed-sublane loads; offset-layout concats; lane-slice
+        # staging hits "unsupported shape cast").  The bandwidth-bound
+        # inter kernel, where bf16 actually pays, runs natively in bf16.
+        return dprnn_intra_block(
+            x.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
+            precision=precision, interpret=interpret).astype(x.dtype)
     dtype = x.dtype
 
     tile = min(_intra_tile(), max(8, N))
@@ -413,6 +443,7 @@ def dprnn_intra_block(
         scratch_shapes=[
             pltpu.VMEM((T, tile, C), dtype),                      # ys_fw
             pltpu.VMEM((T, tile, C), dtype),                      # ys_bw
+            pltpu.VMEM((tile, 2 * C), dtype),                     # x2 staging
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -282,3 +282,30 @@ def test_dprnn_inter_block_kernel_multi_step(monkeypatch, T, ts):
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("T,dt", [(16, "float32"), (16, "bfloat16"),
+                                  (40, "float32"), (13, "bfloat16")])
+def test_dprnn_intra_block_chunked_and_bf16(T, dt):
+    """The 8-aligned chunked sequence walk (and the bf16 upcast fallback
+    for T % 8 != 0) matches the reference composition."""
+    rng = np.random.default_rng(12)
+    N, C = 20, 8
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+
+    yi = onn.gru_bidir(p_fw, p_bw, x)
+    yi = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yi))
+    ref = x + yi
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    xd = x.astype(jnp.dtype(dt))
+    got = pallas_gru.dprnn_intra_block(
+        xd, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+    assert got.dtype == xd.dtype
+    atol = 1e-5 if dt == "float32" else 0.15
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=atol)
