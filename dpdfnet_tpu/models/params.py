@@ -84,15 +84,18 @@ def _dprnn_block(kg, c):
 
 
 def _squeezed(kg, i, h, o, layers, g, skip="none", group_gru=1):
+    # NB: key-consumption order (lin_in before grus) is load-bearing for
+    # seed reproducibility of the default configs.
+    p = {"lin_in": _gl(kg, i, h, g)}
     if group_gru > 1:
         # reference quirk: group_gru>1 selects GroupedGRU, which keeps its
         # own default of 4 groups (model/modules.py:1061-1062, :1186)
         gg = 4
-        grus = [{"groups": [_gru(kg, h // gg, h // gg) for _ in range(gg)]}
-                for _ in range(layers)]
+        p["grus"] = [
+            {"groups": [_gru(kg, h // gg, h // gg) for _ in range(gg)]}
+            for _ in range(layers)]
     else:
-        grus = [_gru(kg, h, h) for _ in range(layers)]
-    p = {"lin_in": _gl(kg, i, h, g), "grus": grus}
+        p["grus"] = [_gru(kg, h, h) for _ in range(layers)]
     if o is not None:
         p["lin_out"] = _gl(kg, h, o, g)
     if skip == "groupedlinear":

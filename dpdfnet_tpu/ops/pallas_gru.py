@@ -625,10 +625,14 @@ def gru_scan_tm(
     n_tiles = Np // tile
 
     # Time steps per grid cell.  TS > 1 amortises pipeline bookkeeping but
-    # multiplies the pipeline's VMEM block buffers; on v5e (16M scoped vmem)
-    # the sweet spot measured is TS=1 with the largest row tile that fits —
-    # larger TS trips the scoped-vmem limit at tile=2048.
-    TS = 1
+    # multiplies the pipeline's VMEM block buffers, so scale it to the
+    # block size: keep each x/ys block under ~4 MB (the 16M-era sweet spot
+    # was TS=1 at tile 2048; with the 40M limit, small-row scans — the
+    # emb/decoder GRU stacks have only N=B rows — take TS=8 and large-row
+    # ones fall back).  T is a power-of-two segment/bucket size.
+    TS = 8
+    while TS > 1 and (T % TS or TS * tile * max(I, H) * 4 > (4 << 20)):
+        TS //= 2
 
     b2 = jnp.stack([bi, bh]).astype(dtype)               # [2, 3H]
 
@@ -798,8 +802,11 @@ def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
 # the tile size — measured 16.5M at tile 120 / 19.7M at tile 112, T=48).
 # The estimator budget below keeps the buffer sum at ~half the raised
 # limit, leaving slack for Mosaic's temporaries and XLA's own VMEM needs.
+# 48M: the chunked intra walk at tile 256 + HIGHEST-precision dots peaks
+# at 40.46M measured (b256 'high'); headroom without starving XLA's own
+# VMEM (v5e has 128M physical; 100M measured working).
 _KERNEL_VMEM_LIMIT = int(os.environ.get(
-    "DPDFNET_TPU_KERNEL_VMEM", 40 * 1024 * 1024))
+    "DPDFNET_TPU_KERNEL_VMEM", 48 * 1024 * 1024))
 _INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
 
 
