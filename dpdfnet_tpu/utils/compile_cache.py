@@ -50,4 +50,25 @@ def _cache_dir(path: str | None, env: str | None) -> str:
         return env
     base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache")
-    return os.path.join(base, "dpdfnet_tpu", "jax_cache")
+    # Salt the path with the host CPU feature set: XLA:CPU AOT artifacts
+    # embed target-machine features but the cache key does not — loading
+    # an artifact compiled on a different host type warns "could lead to
+    # execution errors such as SIGILL".  Same machine type -> same salt.
+    return os.path.join(base, "dpdfnet_tpu", f"jax_cache_{_cpu_salt()}")
+
+
+def _cpu_salt() -> str:
+    import hashlib
+    import platform
+
+    flags: list[str] = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = sorted(line.split(":", 1)[1].split())
+                    break
+    except OSError:
+        pass
+    blob = " ".join(flags) + platform.machine()
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
