@@ -281,10 +281,10 @@ def gru_bidir_tm(
     return ys_f, ys_b
 
 
-def _intra_block_kernel(T: int, C: int, precision, eps: float,
+def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
                         x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
-                        out_ref, scrf, scrb, x2s):
+                        out_ref, scrf, scrb, x2s, xp_scr):
     """One DPRNN intra pass, fully VMEM-resident per row tile.
 
     x block is [tile, T, C] in the model's natural row-major layout (rows =
@@ -314,18 +314,33 @@ def _intra_block_kernel(T: int, C: int, precision, eps: float,
         rbase = pl.multiple_of(T - CH - ci * CH, CH)
         xf_c = x_ref[:, pl.ds(base, CH), :]                   # [tile, CH, C]
         xb_c = x_ref[:, pl.ds(rbase, CH), :]
-        for k in range(CH):
-            # Stage the two chunk slices through a tiny scratch instead of
-            # jnp.concatenate: concat of offset-layout vector slices is
-            # "offset mismatch on non-concat dimension" in Mosaic; stores
-            # relayout their value, so the read-back is a clean [tile, 2C].
-            x2s[:, :C] = xf_c[:, k, :]
-            x2s[:, C:] = xb_c[:, CH - 1 - k, :]
-            x2 = x2s[:]
-            xp = jax.lax.dot_general(
-                x2, wi_ref[:], (((1,), (0,)), ((), ())),
+        if hoist:
+            # v3: stage the whole chunk's x2 rows, then ONE [CH*tile, 2C]
+            # x-projection GEMM off the recurrence's critical path (8x the
+            # M of the per-step dots; the sequential loop keeps only the
+            # hh dot + gate VPU work).
+            for k in range(CH):
+                x2s[k * tile:(k + 1) * tile, :C] = xf_c[:, k, :]
+                x2s[k * tile:(k + 1) * tile, C:] = xb_c[:, CH - 1 - k, :]
+            xp_scr[:] = jax.lax.dot_general(
+                x2s[:], wi_ref[:], (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32,
             ) + b_ref[0:1, :]
+        for k in range(CH):
+            if hoist:
+                xp = xp_scr[k * tile:(k + 1) * tile]
+            else:
+                # Stage the two chunk slices through a tiny scratch instead
+                # of jnp.concatenate: concat of offset-layout vector slices
+                # is "offset mismatch on non-concat dimension" in Mosaic;
+                # stores relayout their value, so the read-back is a clean
+                # [tile, 2C].
+                x2s[:, :C] = xf_c[:, k, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+                xp = jax.lax.dot_general(
+                    x2s[:], wi_ref[:], (((1,), (0,)), ((), ())),
+                    precision=precision, preferred_element_type=jnp.float32,
+                ) + b_ref[0:1, :]
             hh = jax.lax.dot_general(
                 h, wh_ref[:], (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32,
@@ -369,6 +384,21 @@ def _intra_block_kernel(T: int, C: int, precision, eps: float,
 def _intra_tile() -> int:
     """Row tile of the intra kernel (override: DPDFNET_TPU_INTRA_TILE)."""
     return int(os.environ.get("DPDFNET_TPU_INTRA_TILE", str(_INTRA_TILE)))
+
+
+def _intra_hoist() -> bool:
+    """Chunk-hoisted x projection in the intra kernel (v3 experiment,
+    DPDFNET_TPU_INTRA_HOIST=1): one [CH*tile, 2C] GEMM per chunk off the
+    recurrence's critical path instead of a per-step dot.
+
+    MEASURED SLOWER e2e on v5e (b256 'default': 1606 vs 1652 xRT) — the
+    chunk staging stores + xp scratch round-trip cost more than the
+    batched GEMM saves, i.e. the kernel is bound by the per-step VPU gate
+    math (sigmoid/tanh on [tile, 6C]), not by MXU dot latency.  Same
+    conclusion as the v2 whole-sequence hoist.  Kept for future hardware
+    with a different VPU:MXU balance."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTRA_HOIST", "0") not in ("0", "false", "False")
 
 
 # Measured on v5e (dpdfnet8_48khz_hr b32 'default', inter TS=4/8):
@@ -420,8 +450,11 @@ def dprnn_intra_block(
         x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
     Np = N + n_pad
 
+    hoist = _intra_hoist()
+    CH = 8 if T % 8 == 0 else 1
     kern = functools.partial(
-        _intra_block_kernel, T, C, _PRECISIONS[precision], 1e-5)
+        _intra_block_kernel, T, C, hoist and CH > 1,
+        _PRECISIONS[precision], 1e-5)
 
     out = pl.pallas_call(
         kern,
@@ -443,7 +476,13 @@ def dprnn_intra_block(
         scratch_shapes=[
             pltpu.VMEM((T, tile, C), dtype),                      # ys_fw
             pltpu.VMEM((T, tile, C), dtype),                      # ys_bw
-            pltpu.VMEM((tile, 2 * C), dtype),                     # x2 staging
+            # x2 staging: whole chunk when hoisting, one step otherwise
+            pltpu.VMEM(((CH if hoist and CH > 1 else 1) * tile, 2 * C),
+                       dtype),
+            # hoisted x-projection chunk (f32 accumulators); minimal when
+            # unused
+            pltpu.VMEM(((CH * tile, 6 * C) if hoist and CH > 1 else (8, 128)),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -309,3 +309,24 @@ def test_dprnn_intra_block_chunked_and_bf16(T, dt):
     atol = 1e-5 if dt == "float32" else 0.15
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), atol=atol)
+
+
+def test_dprnn_intra_block_hoisted_xp(monkeypatch):
+    """The v3 chunk-hoisted x-projection path is exact."""
+    monkeypatch.setenv("DPDFNET_TPU_INTRA_HOIST", "1")
+    rng = np.random.default_rng(13)
+    N, T, C = 20, 16, 8
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+
+    yi = onn.gru_bidir(p_fw, p_bw, x)
+    yi = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yi))
+    ref = x + yi
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    got = pallas_gru.dprnn_intra_block(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
