@@ -196,12 +196,41 @@ def _read_compressed(p: Path, suffix: str) -> Tuple[np.ndarray, int]:
     if m is None:
         raise ValueError(f"could not parse ffmpeg stream info for {p}")
     sr = int(m.group(1))
-    layout = m.group(2).decode()
-    channels = {"mono": 1, "stereo": 2}.get(
-        layout, int(re.match(r"(\d+)", layout).group(1))
-        if re.match(r"\d", layout) else 2)
+    layout = m.group(2).decode().strip()
+    channels = _ffmpeg_layout_channels(layout)
+    if channels is None:
+        raise ValueError(
+            f"unrecognised ffmpeg channel layout {layout!r} for {p}; "
+            f"convert the file to wav/flac or install pydub.")
     samples = np.frombuffer(probe.stdout, dtype="<f4").astype(np.float32)
     if channels > 1:
         samples = samples[: len(samples) - len(samples) % channels]
         samples = samples.reshape(-1, channels)
     return samples, sr
+
+
+def _ffmpeg_layout_channels(layout: str):
+    """Channel count from an ffmpeg stream-info layout token.
+
+    ffmpeg prints either ``N channels``, a simple name (``mono``,
+    ``stereo``, ``quad``), or a dotted layout (``5.1``, ``7.1(wide)``,
+    ``2.1``) whose channel count is the sum of its parts.  Returns None
+    for anything unrecognised (callers fail loudly rather than deinterleave
+    with a guessed count).
+    """
+    import re
+
+    named = {"mono": 1, "stereo": 2, "downmix": 2, "quad": 4,
+             "quad(side)": 4, "hexagonal": 6, "octagonal": 8}
+    base = layout.split("(", 1)[0].strip()
+    if layout in named:
+        return named[layout]
+    if base in named:
+        return named[base]
+    m = re.match(r"(\d+)\s+channels?$", layout)
+    if m:
+        return int(m.group(1))
+    m = re.match(r"(\d+)\.(\d+)$", base)
+    if m:
+        return int(m.group(1)) + int(m.group(2))
+    return None

@@ -118,13 +118,15 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench = sub.add_parser("bench", help="Measure offline throughput (xRT).")
     p_bench.add_argument("--model", default="dpdfnet8_48khz_hr",
                          choices=supported_models())
-    p_bench.add_argument("--batch", type=int, default=32)
+    # defaults mirror the headline bench (python bench.py): b256, the
+    # 'default' throughput tier — so documented numbers reproduce as-is.
+    # (The enhance API's quality default remains the f32-grade 'high'.)
+    p_bench.add_argument("--batch", type=int, default=256)
     p_bench.add_argument("--seconds", type=float, default=10.0)
     p_bench.add_argument("--reps", type=int, default=5)
-    p_bench.add_argument("--precision", default="high",
+    p_bench.add_argument("--precision", default="default",
                          choices=["default", "high", "highest"],
-                         help="Matmul precision tier to bench "
-                              "(default tier of the API is 'high').")
+                         help="Matmul precision tier to bench.")
     p_bench.add_argument("--random-weights", action="store_true",
                          help="Use random weights (no download needed).")
     p_bench.add_argument("--streaming", action="store_true",

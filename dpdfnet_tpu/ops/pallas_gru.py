@@ -670,7 +670,7 @@ def gru_scan_tm(
     # emb/decoder GRU stacks have only N=B rows — take TS=8 and large-row
     # ones fall back).  T is a power-of-two segment/bucket size.
     TS = 8
-    while TS > 1 and (T % TS or TS * tile * max(I, H) * 4 > (4 << 20)):
+    while TS > 1 and (T % TS or TS * tile * max(I, H) * 4 >= (4 << 20)):
         TS //= 2
 
     b2 = jnp.stack([bi, bh]).astype(dtype)               # [2, 3H]
@@ -843,9 +843,12 @@ def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
 # limit, leaving slack for Mosaic's temporaries and XLA's own VMEM needs.
 # 48M: the chunked intra walk at tile 256 + HIGHEST-precision dots peaks
 # at 40.46M measured (b256 'high'); headroom without starving XLA's own
-# VMEM (v5e has 128M physical; 100M measured working).
+# VMEM (v5e has 128M physical; 100M measured working).  The env override
+# accepts bytes, or MiB for values under 1024 (so "=64" means 64 MiB).
 _KERNEL_VMEM_LIMIT = int(os.environ.get(
     "DPDFNET_TPU_KERNEL_VMEM", 48 * 1024 * 1024))
+if _KERNEL_VMEM_LIMIT < 1024:
+    _KERNEL_VMEM_LIMIT *= 1024 * 1024
 _INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
 
 

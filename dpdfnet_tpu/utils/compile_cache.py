@@ -46,7 +46,9 @@ def enable(path: str | None = None) -> str | None:
 def _cache_dir(path: str | None, env: str | None) -> str:
     if path:
         return path
-    if env:
+    # "1"/"true"/"on" mean "enable with the default path" (matching the
+    # 0/1 idiom of the other DPDFNET_TPU_* knobs); anything else is a path.
+    if env and env not in ("1", "true", "True", "on"):
         return env
     base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache")

@@ -547,3 +547,13 @@ def test_supported_extensions_cover_reference_set():
     ref = {".wav", ".flac", ".ogg", ".aiff", ".aif", ".au", ".snd",
            ".mp3", ".m4a", ".aac", ".wma", ".opus"}
     assert ref <= set(audio_io.SUPPORTED_EXTENSIONS)
+
+
+def test_ffmpeg_layout_channel_parse():
+    f = audio_io._ffmpeg_layout_channels
+    assert f("mono") == 1 and f("stereo") == 2
+    assert f("5.1") == 6 and f("5.1(side)") == 6
+    assert f("7.1") == 8 and f("2.1") == 3
+    assert f("quad") == 4 and f("quad(side)") == 4
+    assert f("6 channels") == 6 and f("1 channels") == 1
+    assert f("surround-nonsense") is None

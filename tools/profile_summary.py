@@ -55,21 +55,24 @@ def main() -> int:
         print(json.dumps(obj)[:4000])
         return 0
 
-    def col(name_frag):
-        for i, c in enumerate(cols):
-            if c and name_frag.lower() in str(c).lower():
-                return i
+    def col(*frags):
+        for frag in frags:
+            for i, c in enumerate(cols):
+                if c and frag.lower() in str(c).lower():
+                    return i
         return None
 
-    i_name = col("HLO op name") or col("op name") or 0
+    i_name = col("HLO op name", "op name")
+    if i_name is None:
+        i_name = 0
     i_cat = col("category")
-    i_time = col("total time") or col("occurrences")  # fall back
-    # prefer a self-time-us style column
-    for frag in ("total time (us)", "avg. time", "self"):
-        j = col(frag)
-        if j is not None:
-            i_time = j
-            break
+    # prefer total-time-us, then fall back through time-ish columns
+    i_time = col("total time (us)", "total time", "avg. time", "self",
+                 "occurrences")
+    if i_time is None:
+        print(f"no usable time column in {cols}", file=sys.stderr)
+        print(json.dumps(obj)[:4000])
+        return 1
 
     key_i = i_cat if (args.by == "category" and i_cat is not None) else i_name
     agg = {}
