@@ -36,14 +36,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Mosaic supports only DEFAULT/HIGHEST dot precision; map 'high' to full
-# f32 — the kernel's GEMMs are small enough that the 6-pass cost is hidden
-# behind the DMA stream, and accuracy can only improve.
+# Mosaic supports only DEFAULT/HIGHEST dot precision.  'high' (bf16_3x,
+# XLA's three-pass f32-grade mode) is implemented manually by _kdot:
+# split both operands into hi/lo bf16 halves and accumulate three native
+# bf16 MXU passes in f32 — same decomposition XLA uses outside kernels.
+# (Historical: mapping 'high' to HIGHEST (6-pass) measured 660 xRT at
+# b256 vs 1653 for 'default'; the GEMMs are NOT free behind the DMA
+# stream at the tuned tile sizes.)
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGHEST,
+    "high": "bf16_3x",
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+_MM_DIMS = (((1,), (0,)), ((), ()))
+
+
+def _kdot(a, b, precision):
+    """In-kernel matmul honouring the tier semantics (see _PRECISIONS)."""
+    if precision == "bf16_3x":
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        ah = af.astype(jnp.bfloat16)
+        al = (af - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = bf.astype(jnp.bfloat16)
+        bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, _MM_DIMS, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    return jax.lax.dot_general(
+        a, b, _MM_DIMS, precision=precision,
+        preferred_element_type=jnp.float32)
 
 # Rows per grid cell.  Grid cells execute sequentially on the TensorCore,
 # so the tile should cover as many rows as VMEM allows — smaller tiles
@@ -124,14 +151,10 @@ def _kernel(TS: int, H: int, reverse: bool, precision,
     # pipeline's per-cell block-DMA bookkeeping over several recurrence steps.
     for s in range(TS):
         idx = (TS - 1 - s) if reverse else s
-        xp = jax.lax.dot_general(
-            x_ref[idx], wi_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[0:1, :]
-        hh = jax.lax.dot_general(
-            h, wh_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[1:2, :]
+        xp = _kdot(
+            x_ref[idx], wi_ref[:], precision) + b_ref[0:1, :]
+        hh = _kdot(
+            h, wh_ref[:], precision) + b_ref[1:2, :]
         r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
         z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
         n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
@@ -160,14 +183,10 @@ def _bidir_kernel(H: int, precision,
 
     h = h_scr[:]
     x2 = jnp.concatenate([xf_ref[0], xb_ref[0]], axis=-1)       # [tile, 2I]
-    xp = jax.lax.dot_general(
-        x2, wi_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + b_ref[0:1, :]
-    hh = jax.lax.dot_general(
-        h, wh_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + b_ref[1:2, :]
+    xp = _kdot(
+        x2, wi_ref[:], precision) + b_ref[0:1, :]
+    hh = _kdot(
+        h, wh_ref[:], precision) + b_ref[1:2, :]
     H2 = 2 * H
     r = jax.nn.sigmoid(xp[:, :H2] + hh[:, :H2])
     z = jax.nn.sigmoid(xp[:, H2:2 * H2] + hh[:, H2:2 * H2])
@@ -322,10 +341,8 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
             for k in range(CH):
                 x2s[k * tile:(k + 1) * tile, :C] = xf_c[:, k, :]
                 x2s[k * tile:(k + 1) * tile, C:] = xb_c[:, CH - 1 - k, :]
-            xp_scr[:] = jax.lax.dot_general(
-                x2s[:], wi_ref[:], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            ) + b_ref[0:1, :]
+            xp_scr[:] = _kdot(
+                x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
         for k in range(CH):
             if hoist:
                 xp = xp_scr[k * tile:(k + 1) * tile]
@@ -337,14 +354,10 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
                 # [tile, 2C].
                 x2s[:, :C] = xf_c[:, k, :]
                 x2s[:, C:] = xb_c[:, CH - 1 - k, :]
-                xp = jax.lax.dot_general(
-                    x2s[:], wi_ref[:], (((1,), (0,)), ((), ())),
-                    precision=precision, preferred_element_type=jnp.float32,
-                ) + b_ref[0:1, :]
-            hh = jax.lax.dot_general(
-                h, wh_ref[:], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            ) + b_ref[1:2, :]
+                xp = _kdot(
+                    x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
+            hh = _kdot(
+                h, wh_ref[:], precision) + b_ref[1:2, :]
             r = jax.nn.sigmoid(xp[:, :C2] + hh[:, :C2])
             z = jax.nn.sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
             n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
@@ -367,13 +380,9 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
     for c0 in range(0, T, CH):
         x_c = x_ref[:, pl.ds(c0, CH), :]                      # [tile, CH, C]
         for k in range(CH):
-            y = jax.lax.dot_general(
-                scrf[c0 + k], wfc_ref[:C], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                scrb[c0 + k], wfc_ref[C:], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            ) + bfc_ref[0:1, :]
+            y = _kdot(
+                scrf[c0 + k], wfc_ref[:C], precision) + _kdot(
+                scrb[c0 + k], wfc_ref[C:], precision) + bfc_ref[0:1, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
             yn = (y - mu) * jax.lax.rsqrt(var + eps)
@@ -516,23 +525,17 @@ def _inter_block_kernel(TS: int, H: int, precision, eps: float,
     h = h_scr[:]
     for s in range(TS):
         x = x_ref[s]
-        xp = jax.lax.dot_general(
-            x, wi_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[0:1, :]
-        hh = jax.lax.dot_general(
-            h, wh_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[1:2, :]
+        xp = _kdot(
+            x, wi_ref[:], precision) + b_ref[0:1, :]
+        hh = _kdot(
+            h, wh_ref[:], precision) + b_ref[1:2, :]
         r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
         z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
         n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
         h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
 
-        y = jax.lax.dot_general(
-            h, wfc_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + bfc_ref[0:1, :]
+        y = _kdot(
+            h, wfc_ref[:], precision) + bfc_ref[0:1, :]
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
         yn = (y - mu) * jax.lax.rsqrt(var + eps)
@@ -762,10 +765,7 @@ def _intra_v2_kernel(T: int, C: int, precision, eps: float,
     #    leading because Mosaic only supports dynamic (walk-indexed) VMEM
     #    addressing on the leading dim (sublane alignment on the others).
     for t in range(T):
-        proj = jax.lax.dot_general(
-            x_ref[:, t, :], wic_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        ) + b_ref[0:1, :]
+        proj = _kdot(x_ref[:, t, :], wic_ref[:], precision) + b_ref[0:1, :]
         xp_scr[t] = proj.astype(xp_scr.dtype)
 
     # gate-major column mask: [r_f r_b z_f z_b n_f n_b] -> f-direction cols
@@ -777,10 +777,8 @@ def _intra_v2_kernel(T: int, C: int, precision, eps: float,
     #    (blockdiag Wfc columns).  Step 0's partials are of h=0 and land in
     #    clamped slots that later steps overwrite.
     def step(s, h):
-        dot = jax.lax.dot_general(
-            h, whb_ref[:], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        )
+        dot = _kdot(
+            h, whb_ref[:], precision)
         hh = dot[:, :H6] + b_ref[1:2, :]
         p = dot[:, H6:]
         sf = jnp.maximum(s - 1, 0)
@@ -799,10 +797,7 @@ def _intra_v2_kernel(T: int, C: int, precision, eps: float,
         return ((1.0 - z) * n + z * h).astype(jnp.float32)
 
     h_fin = jax.lax.fori_loop(0, T, step, jnp.zeros((tile, C2), jnp.float32))
-    p_last = jax.lax.dot_general(
-        h_fin, whb_ref[:, H6:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    )
+    p_last = _kdot(h_fin, whb_ref[:, H6:], precision)
     pf_scr[pl.ds(T - 1, 1)] = p_last[:, :C][None]
     pb_scr[pl.ds(0, 1)] = p_last[:, C:][None]
 
@@ -945,10 +940,7 @@ def _inter_v2_kernel(H: int, precision, eps: float,
     @pl.when(t == 0)
     def _():
         h_scr[:] = h0_ref[0]
-        hh_scr[:] = jax.lax.dot_general(
-            h0_ref[0], whfc_ref[:, :H3], (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        )
+        hh_scr[:] = _kdot(h0_ref[0], whfc_ref[:, :H3], precision)
 
     h = h_scr[:]
     xp = xp_ref[0].astype(jnp.float32)
@@ -958,10 +950,8 @@ def _inter_v2_kernel(H: int, precision, eps: float,
     n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
     h_new = (1.0 - z) * n + z * h
 
-    dot = jax.lax.dot_general(
-        h_new, whfc_ref[:], (((1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    )
+    dot = _kdot(
+        h_new, whfc_ref[:], precision)
     hh_scr[:] = dot[:, :H3]
     h_scr[:] = h_new.astype(h_scr.dtype)
     hl_ref[0] = h_new.astype(h_scr.dtype)

@@ -29,7 +29,7 @@ def test_gru_scan_matches_lax_scan(reverse, N, T, I, H):
     ys_ref, hl_ref = onn.gru_seq(p, x, h0=h0, reverse=reverse)
     ys, hl = pallas_gru.gru_scan_tm(
         jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
-        reverse=reverse, interpret=True,
+        reverse=reverse, precision="highest", interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(ys, 0, 1)), np.asarray(ys_ref), atol=1e-5)
@@ -46,7 +46,7 @@ def test_gru_scan_row_padding():
     ys_ref, hl_ref = onn.gru_seq(p, x, h0=h0)
     ys, hl = pallas_gru.gru_scan_tm(
         jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
-        interpret=True,
+        precision="highest", interpret=True,
     )
     assert ys.shape == (7, 11, H) and hl.shape == (11, H)
     np.testing.assert_allclose(
@@ -66,7 +66,7 @@ def test_gru_bidir_fused_matches_two_scans(N, T, I, H):
 
     wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
     ys_f, ys_b = pallas_gru.gru_bidir_tm(
-        jnp.swapaxes(x, 0, 1), wi2, wh2, b2, interpret=True)
+        jnp.swapaxes(x, 0, 1), wi2, wh2, b2, precision="highest", interpret=True)
     got = jnp.concatenate(
         [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
@@ -104,7 +104,7 @@ def test_dprnn_intra_block_kernel(N, T, C):
 
     wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
     got = pallas_gru.dprnn_intra_block(
-        x, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest", interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -125,7 +125,7 @@ def test_dprnn_inter_block_kernel(N, T, C):
 
     out, hl = pallas_gru.dprnn_inter_block(
         jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
-        wfc, bfc, g, bln, interpret=True)
+        wfc, bfc, g, bln, precision="highest", interpret=True)
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
@@ -135,8 +135,9 @@ def test_fused_dprnn_stack_forward(monkeypatch):
     """forward_spec with the fused time-major DPRNN stack (interpret mode)
     matches the plain XLA path, outputs and carried state.
 
-    Pinned to the v1 (f32-grade) kernels via the 'high' matmul-precision
-    context; the v2 path is covered by test_fused_dprnn_stack_forward_v2."""
+    Pinned to 'highest' (exact f32 on both sides — the 'high' tier is
+    bf16_3x whose accumulation order differs between the kernel and XLA);
+    the v2 path is covered by test_fused_dprnn_stack_forward_v2."""
     from dpdfnet_tpu.config import get_config
     from dpdfnet_tpu.models.dpdfnet import forward_spec
     from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
@@ -155,7 +156,7 @@ def test_fused_dprnn_stack_forward(monkeypatch):
 
     monkeypatch.setenv("DPDFNET_TPU_PALLAS", "1")
     monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         out_f, st_f, _ = forward_spec(fused, cfg, spec, st)
 
     np.testing.assert_allclose(
@@ -185,7 +186,7 @@ def test_dprnn_intra_block_v2_kernel(N, T, C, xp_bf16):
     wi_cat, wh_big = pallas_gru.pack_intra_v2({"wi2": wi2, "wh2": wh2}, wfc)
     got = pallas_gru.dprnn_intra_block_v2(
         x, wi_cat, wh_big, b2, bfc, g, bln,
-        interpret=True, xp_bf16=xp_bf16)
+        precision="highest", interpret=True, xp_bf16=xp_bf16)
     atol = 5e-2 if xp_bf16 else 1e-5
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
 
@@ -209,7 +210,7 @@ def test_dprnn_inter_block_v2_kernel(N, T, C):
     xp_tm = x_tm @ p["wi"] + p["bi"]
     whfc = jnp.concatenate([p["wh"], wfc], axis=1)
     out, hl = pallas_gru.dprnn_inter_block_v2(
-        xp_tm, x_tm, h0, whfc, p["bh"], bfc, g, bln, interpret=True)
+        xp_tm, x_tm, h0, whfc, p["bh"], bfc, g, bln, precision="highest", interpret=True)
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
@@ -278,7 +279,7 @@ def test_dprnn_inter_block_kernel_multi_step(monkeypatch, T, ts):
 
     out, hl = pallas_gru.dprnn_inter_block(
         jnp.swapaxes(x, 0, 1), h0, p["wi"], p["bi"], p["wh"], p["bh"],
-        wfc, bfc, g, bln, interpret=True)
+        wfc, bfc, g, bln, precision="highest", interpret=True)
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
@@ -304,7 +305,7 @@ def test_dprnn_intra_block_chunked_and_bf16(T, dt):
     wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
     xd = x.astype(jnp.dtype(dt))
     got = pallas_gru.dprnn_intra_block(
-        xd, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+        xd, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest", interpret=True)
     assert got.dtype == xd.dtype
     atol = 1e-5 if dt == "float32" else 0.15
     np.testing.assert_allclose(np.asarray(got, np.float32),
@@ -328,5 +329,31 @@ def test_dprnn_intra_block_hoisted_xp(monkeypatch):
 
     wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
     got = pallas_gru.dprnn_intra_block(
-        x, wi2, wh2, b2, wfc, bfc, g, bln, interpret=True)
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest", interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_high_tier_bf16_3x_accuracy():
+    """The 'high' kernel tier (manual bf16_3x decomposition) stays within
+    f32-grade tolerance of the exact result and is far more accurate than
+    a plain bf16 ('default') pass."""
+    rng = np.random.default_rng(14)
+    N, T, C = 24, 16, 8
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+
+    def run(prec):
+        return np.asarray(pallas_gru.dprnn_intra_block(
+            x, wi2, wh2, b2, wfc, bfc, g, bln,
+            precision=prec, interpret=True))
+
+    exact = run("highest")
+    err_high = np.abs(run("high") - exact).max()
+    # bf16_3x really rounds operands even in interpret mode, so this
+    # bounds the decomposition's own error (plain-'default' interprets as
+    # exact f32 on CPU, so no ordering comparison is possible here)
+    assert 0 < err_high < 2e-4, err_high
