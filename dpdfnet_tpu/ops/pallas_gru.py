@@ -55,6 +55,12 @@ _MM_DIMS = (((1,), (0,)), ((), ()))
 def _kdot(a, b, precision):
     """In-kernel matmul honouring the tier semantics (see _PRECISIONS)."""
     if precision == "bf16_3x":
+        if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+            # low halves are exactly zero for native-bf16 operands: one
+            # pass is bit-identical to three
+            return jax.lax.dot_general(
+                a, b, _MM_DIMS, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
         af = a.astype(jnp.float32)
         bf = b.astype(jnp.float32)
         ah = af.astype(jnp.bfloat16)
@@ -289,7 +295,7 @@ def gru_bidir_tm(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(x_tm, x_tm, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype))
@@ -320,7 +326,9 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
     # Sequence chunk: all dynamic x/out accesses on the (tiled) middle dim
     # happen at provably 8-aligned bases so bf16's (2,1) sublane packing is
     # legal; offsets within a chunk are static.  CH=1 falls back to the
-    # per-step form (f32-only — the bf16 wrapper upcasts when T % 8 != 0).
+    # per-step form.  (Moot for bf16 either way: the wrapper upcasts bf16
+    # inputs unconditionally outside interpret mode — this Mosaic version
+    # miscompiles other bf16 vector ops; see dprnn_intra_block.)
     CH = 8 if T % 8 == 0 else 1
 
     # Recurrence via fori_loop over chunks (compact code, reused stack
@@ -418,7 +426,8 @@ def _intra_hoist() -> bool:
 _INTRA_TILE = 256
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "tile", "hoist"))
 def dprnn_intra_block(
     x: Array,
     wi2: Array,
@@ -431,6 +440,8 @@ def dprnn_intra_block(
     *,
     precision: str = "high",
     interpret: bool = False,
+    tile: int | None = None,
+    hoist: bool | None = None,
 ) -> Array:
     """Fused DPRNN intra stage: ``x + LN(FC(bidirGRU(x)))``.
 
@@ -450,16 +461,20 @@ def dprnn_intra_block(
         # inter kernel, where bf16 actually pays, runs natively in bf16.
         return dprnn_intra_block(
             x.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
-            precision=precision, interpret=interpret).astype(x.dtype)
+            precision=precision, interpret=interpret,
+            tile=tile, hoist=hoist).astype(x.dtype)
     dtype = x.dtype
 
-    tile = min(_intra_tile(), max(8, N))
+    # NB: None means "read the env knob at trace time" — pass explicit
+    # values to make the choice part of the jit cache key (an env change
+    # after a shape is traced is otherwise ignored for that shape).
+    tile = _pick_tile(N, _intra_tile() if tile is None else tile)
     n_pad = (-N) % tile
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
     Np = N + n_pad
 
-    hoist = _intra_hoist()
+    hoist = _intra_hoist() if hoist is None else hoist
     CH = 8 if T % 8 == 0 else 1
     kern = functools.partial(
         _intra_block_kernel, T, C, hoist and CH > 1,
@@ -495,7 +510,7 @@ def dprnn_intra_block(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(x, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype),
@@ -582,9 +597,10 @@ def dprnn_inter_block(
 
     # steps per grid cell: largest power of two <= ts dividing T
     # (T is a segment/bucket size — a power of two in every engine path)
-    TS = _inter_ts() if ts is None else ts
-    while TS > 1 and T % TS:
-        TS //= 2
+    want = max(1, _inter_ts() if ts is None else ts)
+    TS = 1
+    while TS * 2 <= want and T % (TS * 2) == 0:
+        TS *= 2
 
     b2 = jnp.stack([bi, bh]).astype(dtype)
     tmap = lambda i, t: (t, i, 0)
@@ -621,7 +637,7 @@ def dprnn_inter_block(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2,
@@ -710,7 +726,7 @@ def gru_scan_tm(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2)
@@ -840,10 +856,14 @@ def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
 # at 40.46M measured (b256 'high'); headroom without starving XLA's own
 # VMEM (v5e has 128M physical; 100M measured working).  The env override
 # accepts bytes, or MiB for values under 1024 (so "=64" means 64 MiB).
-_KERNEL_VMEM_LIMIT = int(os.environ.get(
-    "DPDFNET_TPU_KERNEL_VMEM", 48 * 1024 * 1024))
-if _KERNEL_VMEM_LIMIT < 1024:
-    _KERNEL_VMEM_LIMIT *= 1024 * 1024
+def _kernel_vmem() -> int:
+    """Scoped-vmem limit for the kernels (DPDFNET_TPU_KERNEL_VMEM; read
+    at trace time).  Bytes, or MiB for values under 1 MiB — '=64' and
+    '=2048' both mean MiB."""
+    v = int(os.environ.get("DPDFNET_TPU_KERNEL_VMEM", 48 * 1024 * 1024))
+    if v < (1 << 20):
+        v *= 1 << 20
+    return v
 _INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
 
 
@@ -916,7 +936,7 @@ def dprnn_intra_block_v2(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(x, wi_cat.astype(jnp.float32), wh_big.astype(jnp.float32),
@@ -1031,7 +1051,7 @@ def dprnn_inter_block_v2(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
     )(h0[None], xp_tm, x_tm, whfc.astype(jnp.float32),

@@ -32,9 +32,14 @@ def enable(path: str | None = None) -> str | None:
         return _cache_dir(path, env)
     target = _cache_dir(path, env)
     try:
-        os.makedirs(target, exist_ok=True)
         import jax
 
+        existing = jax.config.jax_compilation_cache_dir
+        if existing and existing != target:
+            # the host application configured its own cache — respect it
+            _done = True
+            return existing
+        os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
