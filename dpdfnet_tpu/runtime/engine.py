@@ -69,7 +69,10 @@ class Engine:
         precision: str = "high",
         bucket_s: float = 1.0,
         compute_dtype=jnp.float32,
-        seg_frames: int = 128,
+        # segment sweep at b256 'default' on v5e: 64/1737, 96/1679,
+        # 104/1701, 112/1748 (reproduced 3x), 120/1627, 128/1655,
+        # 192/1467, 256/HBM-OOM — 112 is a stable local optimum
+        seg_frames: int = 112,
         fuse: bool = True,
     ):
         from ..utils import compile_cache
