@@ -90,10 +90,10 @@ def _inter_ts() -> int:
     (override: DPDFNET_TPU_INTER_TS).
 
     TS>1 amortises the pipeline's per-cell bookkeeping; measured on v5e
-    (dpdfnet8_48khz_hr b32 'default', with intra tile 256): TS=1 1047*,
-    TS=4 1156, TS=8 1151, TS=16 1146 xRT (*TS=1 measured at intra tile
-    128 was 1018; the TS and tile effects are nearly independent)."""
-    return int(os.environ.get("DPDFNET_TPU_INTER_TS", "4"))
+    (dpdfnet8_48khz_hr 'default', intra tile 256): at seg 128/b32 TS 4
+    and 8 tie (1156/1151); at the seg-112 default/b256 TS=8 wins
+    (1806 vs 1747 at TS=4) and TS=16 OOMs scoped vmem (67M > 48M)."""
+    return int(os.environ.get("DPDFNET_TPU_INTER_TS", "8"))
 
 
 def enabled() -> bool:
