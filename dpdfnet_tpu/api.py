@@ -101,12 +101,24 @@ def enhance(
     cfg = engine.cfg
 
     x = ensure_sample_rate(waveform, sr_in, cfg.sample_rate)
-    total = x.shape[0] // cfg.hop + 1
-    if progress_callback is not None:
-        progress_callback(0, total)
-    y = engine.enhance_waveforms(x, attn_limit_db=attn_limit_db)
-    if progress_callback is not None:
-        progress_callback(total, total)
+    # With a callback the engine runs segment-by-segment (identical math) and
+    # reports real per-segment progress, like the reference's per-frame tqdm
+    # (`package/src/dpdfnet/api.py:94-104`) at segment granularity.  Engines
+    # without segment stepping (e.g. injected test fakes) get begin/end calls.
+    import inspect
+
+    stepped = progress_callback is not None and "progress_callback" in \
+        inspect.signature(engine.enhance_waveforms).parameters
+    if stepped:
+        y = engine.enhance_waveforms(x, attn_limit_db=attn_limit_db,
+                                     progress_callback=progress_callback)
+    else:
+        total = x.shape[0] // cfg.hop + 1
+        if progress_callback is not None:
+            progress_callback(0, total)
+        y = engine.enhance_waveforms(x, attn_limit_db=attn_limit_db)
+        if progress_callback is not None:
+            progress_callback(total, total)
     out = ensure_sample_rate(y, cfg.sample_rate, sr_in)
     return fit_length(out, waveform.shape[0]).astype(np.float32, copy=False)
 

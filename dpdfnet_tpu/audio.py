@@ -60,65 +60,79 @@ def ensure_sample_rate(audio: np.ndarray, sample_rate: int, target: int) -> np.n
 
 
 def fit_length(audio: np.ndarray, target_len: int) -> np.ndarray:
+    """Crop or zero-extend a 1-D signal to exactly ``target_len`` samples."""
     x = np.asarray(audio, dtype=np.float32).reshape(-1)
-    if x.shape[0] == target_len:
-        return x
-    if x.shape[0] > target_len:
-        return x[:target_len]
-    out = np.zeros(target_len, dtype=np.float32)
-    out[: x.shape[0]] = x
-    return out
+    if x.shape[0] < target_len:
+        return np.pad(x, (0, target_len - x.shape[0]))
+    return x[:target_len]
 
 
 def pcm16_safe(audio: np.ndarray) -> np.ndarray:
-    x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
-    return (x * 32767.0).astype(np.int16)
+    """Convert float audio to int16 with hard clipping at full scale."""
+    scaled = np.asarray(audio, dtype=np.float32) * 32767.0
+    return np.clip(scaled, -32767.0, 32767.0).astype(np.int16)
 
 
 def validate_attn_limit_db(attn_limit_db):
+    """Normalise an attenuation-limit argument to float dB (None passes).
+
+    ``inf`` means "no limit" and is accepted; negative values and NaN are
+    rejected because a negative limit would amplify the noisy signal.
+    """
     if attn_limit_db is None:
         return None
-    value = float(attn_limit_db)
-    if np.isnan(value) or value < 0.0:
-        raise ValueError("attn_limit_db must be non-negative, infinity, or None.")
-    return value
+    db = float(attn_limit_db)
+    if not db >= 0.0:  # single comparison rejects both negatives and NaN
+        raise ValueError(
+            f"attn_limit_db must be a non-negative dB value, inf, or None; "
+            f"got {attn_limit_db!r}.")
+    return db
 
 
 def apply_attn_limit(
     spec_noisy: np.ndarray, spec_enh: np.ndarray, attn_limit_db
 ) -> np.ndarray:
-    """Blend `alpha*noisy(+4 frames) + (1-alpha)*enhanced` in the spec domain.
+    """Cap the applied attenuation by mixing delayed noisy spec back in.
 
-    The 4-frame shift aligns the noisy reference with the enhanced output's
-    2-frame model lookahead + 2-frame DF delay
-    (`/root/reference/package/src/dpdfnet/audio.py:50-76`).
+    Computes ``enhanced + alpha * (noisy_delayed - enhanced)`` with
+    ``alpha = 10^(-dB/20)``; the noisy reference is delayed by
+    ``ATTN_LIMIT_NOISY_FRAME_OFFSET`` frames to line up with the enhanced
+    output's 2-frame model lookahead + 2-frame DF delay (reference
+    behaviour: `/root/reference/package/src/dpdfnet/audio.py:50-76`).
     """
-    value = validate_attn_limit_db(attn_limit_db)
+    db = validate_attn_limit_db(attn_limit_db)
     enhanced = np.asarray(spec_enh, dtype=np.float32)
-    if value is None:
+    if db is None:
         return enhanced
     noisy = np.asarray(spec_noisy, dtype=np.float32)
     if noisy.shape != enhanced.shape:
         raise ValueError(
-            "spec_noisy and spec_enh must have matching shapes, "
-            f"got {noisy.shape} and {enhanced.shape}."
-        )
-    aligned = np.zeros_like(noisy)
-    k = ATTN_LIMIT_NOISY_FRAME_OFFSET
-    if noisy.shape[1] > k:
-        aligned[:, k:] = noisy[:, :-k]
-    alpha = float(10.0 ** (-value / 20.0))
-    return np.ascontiguousarray(alpha * aligned + (1.0 - alpha) * enhanced,
-                                dtype=np.float32)
+            f"noisy/enhanced spectrogram shapes differ: {noisy.shape} vs "
+            f"{enhanced.shape}.")
+    # Delay along the frame axis; frames shifted in from before the stream
+    # start are silence.
+    delayed = np.roll(noisy, ATTN_LIMIT_NOISY_FRAME_OFFSET, axis=1)
+    delayed[:, :ATTN_LIMIT_NOISY_FRAME_OFFSET] = 0.0
+    alpha = np.float32(10.0 ** (-db / 20.0))
+    blended = enhanced + alpha * (delayed - enhanced)
+    return np.ascontiguousarray(blended, dtype=np.float32)
 
 
 @dataclass(frozen=True)
 class StftConfig:
+    """Analysis/synthesis framing, fully determined by the window length
+    (50% overlap, Vorbis window — the model family's fixed convention)."""
+
     win_len: int
-    hop_size: int
-    window: np.ndarray
+
+    @property
+    def hop_size(self) -> int:
+        return self.win_len // 2
+
+    @property
+    def window(self) -> np.ndarray:
+        return vorbis_window(self.win_len)
 
 
 def make_stft_config(win_len: int) -> StftConfig:
-    return StftConfig(win_len=win_len, hop_size=win_len // 2,
-                      window=vorbis_window(win_len))
+    return StftConfig(win_len=int(win_len))

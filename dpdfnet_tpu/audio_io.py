@@ -181,18 +181,24 @@ def _read_compressed(p: Path, suffix: str) -> Tuple[np.ndarray, int]:
             f"(with ffmpeg) or an 'ffmpeg' binary on PATH.\n"
             f"Install one of them, or convert the file to .wav/.flac."
         ) from None
+    # -map 0:a:0 pins decoding to the first audio stream, so for files with
+    # several audio streams the stdout payload and the parsed stream line
+    # cannot disagree.
     probe = subprocess.run(
-        [ffmpeg, "-hide_banner", "-i", str(p), "-f", "f32le",
-         "-acodec", "pcm_f32le", "-"],
+        [ffmpeg, "-hide_banner", "-i", str(p), "-map", "0:a:0",
+         "-f", "f32le", "-acodec", "pcm_f32le", "-"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, check=False)
     if probe.returncode != 0:
         raise ValueError(
             f"ffmpeg failed to decode {p}: "
             f"{probe.stderr.decode('utf-8', 'replace')[-500:]}")
-    # channel count / rate from the stderr stream info line
+    # Rate/layout of the decoded payload: parse the *output* stream line
+    # (which describes exactly what was written to stdout), falling back to
+    # the whole stderr if ffmpeg's section header ever changes.
     import re
 
-    m = re.search(rb"(\d+) Hz, ([^,]+),", probe.stderr)
+    _, _, out_section = probe.stderr.partition(b"Output #0")
+    m = re.search(rb"(\d+) Hz, ([^,]+),", out_section or probe.stderr)
     if m is None:
         raise ValueError(f"could not parse ffmpeg stream info for {p}")
     sr = int(m.group(1))

@@ -38,6 +38,30 @@ def _candidate_paths():
     yield root / "native" / "build" / "libdpdfnet_host.so"
 
 
+def _try_build() -> None:
+    """Best-effort on-demand build of the native library.
+
+    The .so is not shipped in the repo (build artifacts stay out of git);
+    when a toolchain is present the first import builds it transparently,
+    otherwise the NumPy fallbacks carry on.
+    """
+    import shutil
+    import subprocess
+
+    src_dir = Path(__file__).resolve().parent.parent / "native"
+    if not (src_dir / "Makefile").is_file():
+        return
+    make = shutil.which("make")
+    if make is None:
+        return
+    try:
+        subprocess.run(
+            [make, "-C", str(src_dir)], check=False, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (and memoise) the native library; None when unavailable."""
     global _LIB, _TRIED
@@ -46,6 +70,8 @@ def load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("DPDFNET_TPU_NATIVE") in ("0", "false", "False"):
         return None
+    if not any(p.is_file() for p in _candidate_paths()):
+        _try_build()
     for path in _candidate_paths():
         if not path.is_file():
             continue

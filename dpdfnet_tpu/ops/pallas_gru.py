@@ -855,7 +855,7 @@ def pack_intra_v2(packed: dict, wfc: Array, dtype=jnp.float32):
 # 48M: the chunked intra walk at tile 256 + HIGHEST-precision dots peaks
 # at 40.46M measured (b256 'high'); headroom without starving XLA's own
 # VMEM (v5e has 128M physical; 100M measured working).  The env override
-# accepts bytes, or MiB for values under 1024 (so "=64" means 64 MiB).
+# accepts bytes, or MiB for values under 1 MiB (so "=64" and "=4096" both mean MiB).
 def _kernel_vmem() -> int:
     """Scoped-vmem limit for the kernels (DPDFNET_TPU_KERNEL_VMEM; read
     at trace time).  Bytes, or MiB for values under 1 MiB — '=64' and

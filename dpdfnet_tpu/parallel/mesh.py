@@ -12,7 +12,6 @@ program per host.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -21,12 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..models import state as state_lib
-from ..models.dpdfnet import forward_spec
-from ..ops import stft as stft_ops
-from ..ops.windows import vorbis_window
 
-BATCH_AXIS = "data"
+BATCH_AXIS = "data"   # must agree with runtime.engine.BATCH_AXIS
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -52,49 +47,62 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
-def make_sharded_enhance(
-    cfg: ModelConfig, mesh: Mesh, *, precision: str = "highest"
-):
-    """Compile the full offline enhancement step, batch-sharded over ``mesh``.
+def sharded_engine(cfg: ModelConfig, params, mesh: Mesh, **kwargs):
+    """The production multi-chip path: the tuned ``runtime.engine.Engine``
+    (segment-scan, fused inference params, DFT-GEMM front-end, precision
+    tiers, Pallas kernels) with its batch axis shard_map'ed over ``mesh``.
 
-    Returns ``fn(params, wav [B, S]) -> enhanced [B, S']`` where B must be a
-    multiple of the mesh size.  Parameters are replicated; activations and
-    state shard along the batch axis; XLA inserts no collectives (verified by
-    the dry-run test) because every utterance is independent.
+    Replaces the reference's thread-pool scale-out
+    (`/root/reference/package/src/dpdfnet/cli.py:252-311`).
     """
-    window = jnp.asarray(vorbis_window(cfg.win_len))
+    from ..runtime.engine import Engine
 
-    def step(params, wav):
-        with jax.default_matmul_precision(precision):
-            x = jnp.pad(wav, ((0, 0), (0, cfg.win_len)))
-            spec = stft_ops.stft(x, window, cfg.hop, center=True) * cfg.wnorm
-            st = state_lib.init_state(cfg, batch=wav.shape[0])
-            out, _, _ = forward_spec(params, cfg, spec, st)
-            y = stft_ops.istft(out / cfg.wnorm, window, cfg.hop, center=True)
-            return y[:, 2 * cfg.win_len:]
-
-    in_shardings = (replicated(mesh), NamedSharding(mesh, P(BATCH_AXIS, None)))
-    out_shardings = NamedSharding(mesh, P(BATCH_AXIS, None))
-    return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
+    return Engine(cfg, params, mesh=mesh, **kwargs)
 
 
-def make_sharded_stream_step(cfg: ModelConfig, mesh: Mesh):
-    """Compile a batch-sharded streaming step over spec frames.
+def make_sharded_enhance(
+    cfg: ModelConfig, mesh: Mesh, *, precision: str = "high", **kwargs
+):
+    """Thin wrapper over :func:`sharded_engine` kept for API continuity.
+
+    Returns ``fn(params, wav [B, S]) -> enhanced [B, S]``.  The computation
+    is the SAME code path as the single-device engine — per-shard programs
+    are identical, XLA inserts no collectives (utterances are independent).
+    """
+    cache: dict = {}
+
+    def fn(params, wav):
+        key = id(params)
+        if key not in cache:
+            cache.clear()
+            cache[key] = sharded_engine(
+                cfg, params, mesh, precision=precision, **kwargs)
+        out = cache[key].enhance_waveforms(np.asarray(wav))
+        return jnp.asarray(out)
+
+    return fn
+
+
+def make_sharded_stream_step(cfg: ModelConfig, mesh: Mesh, *,
+                             precision: str = "high", **kwargs):
+    """Batch-sharded streaming step over spec frames (thin Engine wrapper).
 
     ``fn(params, spec [B,T,F,2], state) -> (out, state)`` — many independent
-    live streams served per chip, state resident on device across calls.
+    live streams served per mesh, state resident on device across calls.
+    The per-shard program is the engine's tuned streaming scan body.
     """
+    from ..runtime.engine import Engine
 
-    def step(params, spec, st):
-        out, st, _ = forward_spec(params, cfg, spec, st)
-        return out, st
+    cache: dict = {}
 
-    def spec_shard(x):
-        return NamedSharding(mesh, P(BATCH_AXIS, *([None] * (x - 1))))
+    def fn(params, spec, st):
+        key = id(params)
+        if key not in cache:
+            cache.clear()
+            cache[key] = Engine(cfg, params, mesh=mesh, precision=precision,
+                                **kwargs)
+        eng = cache[key]
+        run = eng._stream_spec_fn(spec.shape[0], spec.shape[1])
+        return run(eng.params, spec, st)
 
-    cfg_state = state_lib.init_state(cfg, batch=mesh.size)
-    state_sh = jax.tree_util.tree_map(lambda x: spec_shard(x.ndim), cfg_state)
-    in_sh = (replicated(mesh), spec_shard(4), state_sh)
-    out_sh = (spec_shard(4), state_sh)
-    return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh,
-                   donate_argnums=(2,))
+    return fn

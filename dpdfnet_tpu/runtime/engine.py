@@ -33,6 +33,10 @@ Array = jax.Array
 
 _STREAM_T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
+# Mesh axis name for batch data-parallelism (one compiled program, utterance
+# axis sharded over ICI; must agree with parallel.mesh.BATCH_AXIS).
+BATCH_AXIS = "data"
+
 
 QUALITY_TIERS = {
     # name -> (matmul precision, compute dtype)
@@ -74,11 +78,18 @@ class Engine:
         # 192/1467, 256/HBM-OOM — 112 is a stable local optimum
         seg_frames: int = 112,
         fuse: bool = True,
+        mesh=None,
     ):
         from ..utils import compile_cache
 
         compile_cache.enable()
         self.cfg = cfg
+        # Optional multi-chip batch data-parallelism: with a jax.sharding.Mesh
+        # the SAME tuned programs (segment-scan, fused params, DFT-GEMM,
+        # precision tiers) are wrapped in shard_map over the utterance axis —
+        # per-shard computation is identical to the single-device path and no
+        # collectives are needed (utterances are independent; SURVEY.md §2.9).
+        self.mesh = mesh
         if fuse:
             from ..models.fuse import prepare_inference_params
 
@@ -99,6 +110,43 @@ class Engine:
         self._window = jnp.asarray(vorbis_window(cfg.win_len))
         self._offline_cache: Dict[Tuple[int, int], object] = {}
         self._stream_cache: Dict[Tuple[int, int], object] = {}
+        self._stepped_cache: Dict[Tuple[int, int, int], object] = {}
+
+    def _place_state(self, st):
+        """Place a state pytree batch-sharded on the engine's mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(BATCH_AXIS))
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), st)
+
+    # ------------------------------------------------------------------ #
+    # Compilation helper: single-device jit, or jit(shard_map) on a mesh
+    # ------------------------------------------------------------------ #
+
+    def _compile(self, core, in_specs, out_specs, donate=()):
+        """jit ``core``; on a mesh, shard the batch axis with shard_map so the
+        per-device program is bit-identical to the single-device one (Pallas
+        kernels included — shard_map runs them per-shard, no GSPMD
+        partitioning of custom calls needed)."""
+        if self.mesh is not None:
+            # check_vma off: scan carries are initialised from replicated
+            # zeros inside the body, which the varying-axis type checker
+            # rejects; with batch-only sharding there is no replication
+            # subtlety to check (no collectives anywhere in the program).
+            try:
+                core = jax.shard_map(
+                    core, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False)
+            except TypeError:
+                core = jax.shard_map(
+                    core, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_rep=False)
+        return jax.jit(core, donate_argnums=donate)
+
+    def _batch_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(BATCH_AXIS), P()
 
     # ------------------------------------------------------------------ #
     # Offline (whole-utterance) path
@@ -115,8 +163,8 @@ class Engine:
 
         seg = self.seg_frames
 
-        @functools.partial(jax.jit, donate_argnums=())
         def run(params, wav: Array, alpha: Array):
+            b = wav.shape[0]                   # local batch under shard_map
             with jax.default_matmul_precision(precision):
                 # reference alignment: pad win_len zeros before the STFT
                 # (package/src/dpdfnet/api.py:88).  The DFT runs as a single
@@ -127,7 +175,7 @@ class Engine:
                 if self.compute_dtype != jnp.float32:
                     spec = spec.astype(self.compute_dtype)
                 spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
-                st = state_lib.init_state(cfg, batch=B, dtype=spec.dtype)
+                st = state_lib.init_state(cfg, batch=b, dtype=spec.dtype)
                 T = spec.shape[1]
                 if T <= seg:
                     out, _, lsnr = forward_spec(params, cfg, spec, st)
@@ -136,7 +184,7 @@ class Engine:
                     spec_p = jnp.pad(
                         spec, ((0, 0), (0, n_seg * seg - T), (0, 0), (0, 0)))
                     segs = spec_p.reshape(
-                        B, n_seg, seg, *spec.shape[2:]).swapaxes(0, 1)
+                        b, n_seg, seg, *spec.shape[2:]).swapaxes(0, 1)
 
                     def body(carry, spec_seg):
                         o, carry, l = forward_spec(params, cfg, spec_seg, carry)
@@ -144,8 +192,8 @@ class Engine:
 
                     _, (outs, lsnrs) = jax.lax.scan(body, st, segs)
                     out = outs.swapaxes(0, 1).reshape(
-                        B, n_seg * seg, *spec.shape[2:])[:, :T]
-                    lsnr = lsnrs.swapaxes(0, 1).reshape(B, n_seg * seg)[:, :T]
+                        b, n_seg * seg, *spec.shape[2:])[:, :T]
+                    lsnr = lsnrs.swapaxes(0, 1).reshape(b, n_seg * seg)[:, :T]
                 # attenuation limit: blend 4-frame-shifted noisy spec
                 # (package/src/dpdfnet/audio.py:50-76); alpha==0 -> passthrough
                 k = audio_lib.ATTN_LIMIT_NOISY_FRAME_OFFSET
@@ -159,14 +207,30 @@ class Engine:
                 # delay), cf. onnx_model/dpdfnet.py:872
                 return y[:, 2 * cfg.win_len:].astype(jnp.float32), lsnr
 
+        shard, rep = self._batch_specs()
+        run = self._compile(run, in_specs=(rep, shard, rep),
+                            out_specs=(shard, shard))
         self._offline_cache[key] = run
         return run
+
+    def _pad_batch(self, x: np.ndarray) -> np.ndarray:
+        """Round the batch up to a multiple of the mesh size (zero rows)."""
+        if self.mesh is None:
+            return x
+        m = int(self.mesh.size)
+        B = x.shape[0]
+        if B % m == 0:
+            return x
+        pad = m - B % m
+        return np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
     def enhance_waveforms(
         self,
         wavs: np.ndarray,
         attn_limit_db: Optional[float] = None,
         lengths: Optional[np.ndarray] = None,
+        progress_callback=None,
     ) -> np.ndarray:
         """Enhance a batch of waveforms at the model sample rate.
 
@@ -174,6 +238,9 @@ class Engine:
             wavs: [S] or [B, S] float32 at ``cfg.sample_rate``.
             attn_limit_db: optional attenuation limit (dB).
             lengths: optional per-utterance valid lengths (defaults to S).
+            progress_callback: optional ``cb(done_frames, total_frames)``;
+                when given, the network runs segment-by-segment (identical
+                math, a few extra dispatches) so progress is real.
 
         Returns:
             Enhanced float32 audio with the same shape as ``wavs``.
@@ -193,17 +260,93 @@ class Engine:
             S_pad = -(-(S_pad * 3 // 2) // self.bucket_samples) * self.bucket_samples
         xp = np.zeros((B, S_pad), np.float32)
         xp[:, :S] = x
-        run = self._offline_fn(B, S_pad)
-        y, _ = run(self.params, jnp.asarray(xp), jnp.asarray(alpha))
+        xp = self._pad_batch(xp)
+        if progress_callback is not None:
+            y = self._run_offline_stepped(xp, alpha, progress_callback)
+        else:
+            run = self._offline_fn(xp.shape[0], S_pad)
+            y, _ = run(self.params, jnp.asarray(xp), jnp.asarray(alpha))
         y = np.asarray(y)
 
         out = np.zeros_like(x)
         n = min(S, y.shape[1])
-        out[:, :n] = y[:, :n]
+        out[:, :n] = y[:B, :n]
         if lengths is not None:
             for i, ln in enumerate(np.asarray(lengths).reshape(-1)):
                 out[i, int(ln):] = 0.0
         return out[0] if squeeze else out
+
+    # -- segment-stepped offline path (drives real progress reporting) ---- #
+
+    def _stepped_fns(self, B: int, S: int, T: int):
+        key = (B, S, T)
+        fns = self._stepped_cache.get(key)
+        if fns is not None:
+            return fns
+        cfg = self.cfg
+        window = self._window
+        precision = self.precision
+        shard, rep = self._batch_specs()
+
+        def front(wav):
+            with jax.default_matmul_precision(precision):
+                x = jnp.pad(wav, ((0, 0), (0, cfg.win_len)))
+                spec = stft_ops.stft_matmul(x, window, cfg.hop, center=True)
+                if self.compute_dtype != jnp.float32:
+                    spec = spec.astype(self.compute_dtype)
+                return spec * jnp.asarray(cfg.wnorm, spec.dtype)
+
+        def seg_step(params, spec_seg, st):
+            with jax.default_matmul_precision(precision):
+                out, st, lsnr = forward_spec(params, cfg, spec_seg, st)
+                return out, st
+
+        def back(spec, out, alpha):
+            with jax.default_matmul_precision(precision):
+                k = audio_lib.ATTN_LIMIT_NOISY_FRAME_OFFSET
+                aligned = jnp.pad(spec, ((0, 0), (k, 0), (0, 0), (0, 0)))[:, :-k]
+                out = alpha * aligned.astype(jnp.float32) + \
+                    (1.0 - alpha) * out.astype(jnp.float32)
+                y = stft_ops.istft_matmul(
+                    out / jnp.asarray(cfg.wnorm, jnp.float32),
+                    window, cfg.hop, center=True)
+                return y[:, 2 * cfg.win_len:].astype(jnp.float32)
+
+        fns = (
+            self._compile(front, in_specs=(shard,), out_specs=shard),
+            self._compile(seg_step, in_specs=(rep, shard, shard),
+                          out_specs=(shard, shard), donate=(2,)),
+            self._compile(back, in_specs=(shard, shard, rep), out_specs=shard),
+        )
+        self._stepped_cache[key] = fns
+        return fns
+
+    def _run_offline_stepped(self, xp: np.ndarray, alpha, progress_callback):
+        """The offline pipeline as front / per-segment / back device calls.
+
+        Math is identical to the fused single-program path (same per-segment
+        op sequence; the scan is simply unrolled across device calls) but the
+        host regains control between segments to report progress.
+        """
+        B, S_pad = xp.shape
+        seg = self.seg_frames
+        spec_probe = S_pad // self.cfg.hop + 2   # frames after center padding
+        front, seg_step, back = self._stepped_fns(B, S_pad, spec_probe)
+        spec = front(jnp.asarray(xp))
+        T = spec.shape[1]
+        n_seg = -(-T // seg)
+        spec_p = jnp.pad(spec, ((0, 0), (0, n_seg * seg - T), (0, 0), (0, 0)))
+        st = state_lib.init_state(self.cfg, batch=B, dtype=spec.dtype)
+        if self.mesh is not None:
+            st = self._place_state(st)
+        outs = []
+        progress_callback(0, T)
+        for i in range(n_seg):
+            o, st = seg_step(self.params, spec_p[:, i * seg:(i + 1) * seg], st)
+            outs.append(o)
+            progress_callback(min((i + 1) * seg, T), T)
+        out = jnp.concatenate(outs, axis=1)[:, :T]
+        return back(spec, out, jnp.asarray(np.float32(alpha)))
 
     # ------------------------------------------------------------------ #
     # Streaming path (sample frames in, overlap-add-ready frames out)
@@ -218,7 +361,6 @@ class Engine:
         window = self._window
         precision = self.precision
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, frames: Array, st):
             # Streaming scans a *single-frame* program over the frame axis so
             # the floating-point op sequence per frame is identical for every
@@ -243,12 +385,49 @@ class Engine:
                 y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
                 return y.astype(jnp.float32), st
 
+        shard, rep = self._batch_specs()
+        run = self._compile(run, in_specs=(rep, shard, shard),
+                            out_specs=(shard, shard), donate=(2,))
+        self._stream_cache[key] = run
+        return run
+
+    def _stream_spec_fn(self, B: int, T: int):
+        """Streaming step over raw spec frames ``[B, T, F, 2]`` (no STFT):
+        the serving-layer entry when the caller already has spectra.  Scans
+        per frame, so chunking is bit-invariant like ``_stream_fn``."""
+        key = ("spec", B, T)
+        fn = self._stream_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        precision = self.precision
+
+        def run(params, spec: Array, st):
+            with jax.default_matmul_precision(precision):
+                def body(carry, spec_t):
+                    out_t, carry, _ = forward_spec(
+                        params, cfg, spec_t[:, None], carry)
+                    return carry, out_t[:, 0]
+
+                st, out = jax.lax.scan(body, st, jnp.swapaxes(spec, 0, 1))
+                return jnp.swapaxes(out, 0, 1), st
+
+        shard, rep = self._batch_specs()
+        run = self._compile(run, in_specs=(rep, shard, shard),
+                            out_specs=(shard, shard), donate=(2,))
         self._stream_cache[key] = run
         return run
 
     def init_stream_state(self, batch: int = 1):
-        return state_lib.init_state(self.cfg, batch=batch,
-                                    dtype=self.compute_dtype)
+        st = state_lib.init_state(self.cfg, batch=batch,
+                                  dtype=self.compute_dtype)
+        if self.mesh is not None:
+            if batch % int(self.mesh.size) != 0:
+                raise ValueError(
+                    f"streaming batch ({batch}) must be a multiple of the "
+                    f"mesh size ({self.mesh.size}) on a sharded engine")
+            st = self._place_state(st)
+        return st
 
     def process_frames(self, frames: np.ndarray, st):
         """Process ``[B, T, win_len]`` sample frames; returns time-domain
@@ -258,6 +437,10 @@ class Engine:
         programs compile regardless of chunking pattern.
         """
         B, T, _ = frames.shape
+        if self.mesh is not None and B % int(self.mesh.size) != 0:
+            raise ValueError(
+                f"streaming batch ({B}) must be a multiple of the mesh size "
+                f"({self.mesh.size}) on a sharded engine")
         outs = []
         pos = 0
         x = jnp.asarray(frames)

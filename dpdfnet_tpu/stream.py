@@ -61,32 +61,30 @@ class StreamEnhancer:
         self._ola_tail = np.zeros(self._win_len - self._hop_size, dtype=np.float32)
         self._input_sr = None
 
-    def process(
-        self,
-        chunk: np.ndarray,
-        sample_rate: Optional[int] = None,
-    ) -> np.ndarray:
-        """Enhance a chunk; returns enhanced samples (possibly length 0).
-
-        The first output appears once one full window (~20 ms) has been
-        buffered; thereafter each completed hop yields ~10 ms of output.
-        """
-        chunk = to_mono(np.asarray(chunk, dtype=np.float32))
-        if chunk.size == 0:
-            return np.zeros(0, dtype=np.float32)
-
-        sr_in = sample_rate if sample_rate is not None else self._model_sr
+    def _bind_stream_rate(self, sample_rate: Optional[int]) -> int:
+        """Latch the stream's input sample rate on first use; reject changes."""
+        sr = int(sample_rate) if sample_rate is not None else self._model_sr
         if self._input_sr is None:
-            self._input_sr = sr_in
-        elif self._input_sr != sr_in:
+            self._input_sr = sr
+        elif sr != self._input_sr:
             raise ValueError(
-                f"Sample rate changed from {self._input_sr} to {sr_in} between "
-                "process() calls.  Call reset() before processing a new stream."
+                f"This stream was opened at {self._input_sr} Hz but received "
+                f"a chunk at {sr} Hz. A StreamEnhancer instance handles one "
+                "stream; call reset() (or use a second instance) before "
+                "switching sample rates."
             )
+        return sr
 
-        chunk_model = ensure_sample_rate(chunk, sr_in, self._model_sr)
-        self._in_buf = np.concatenate([self._in_buf, chunk_model])
+    def _emit(self, committed: np.ndarray, sr_out: int) -> np.ndarray:
+        """Convert committed model-rate samples to the caller's rate."""
+        if sr_out != self._model_sr:
+            committed = ensure_sample_rate(committed, self._model_sr, sr_out)
+        return committed.astype(np.float32, copy=False)
 
+    def _advance(self, model_chunk: np.ndarray) -> np.ndarray:
+        """Feed model-rate samples through the engine; return committed
+        model-rate output (length = hop x frames completed, possibly 0)."""
+        self._in_buf = np.concatenate([self._in_buf, model_chunk])
         win, hop = self._win_len, self._hop_size
         n = self._in_buf.shape[0]
         if n < win:
@@ -111,10 +109,24 @@ class StreamEnhancer:
             committed = (y[:, :hop] + tails).reshape(-1)
             self._ola_tail = y[-1, hop:].copy()
         self._in_buf = self._in_buf[T * hop:]
+        return committed
 
-        if sr_in != self._model_sr:
-            return ensure_sample_rate(committed, self._model_sr, sr_in)
-        return committed.astype(np.float32)
+    def process(
+        self,
+        chunk: np.ndarray,
+        sample_rate: Optional[int] = None,
+    ) -> np.ndarray:
+        """Enhance a chunk; returns enhanced samples (possibly length 0).
+
+        The first output appears once one full window (~20 ms) has been
+        buffered; thereafter each completed hop yields ~10 ms of output.
+        """
+        chunk = to_mono(np.asarray(chunk, dtype=np.float32))
+        if chunk.size == 0:
+            return np.zeros(0, dtype=np.float32)
+        sr_in = self._bind_stream_rate(sample_rate)
+        committed = self._advance(ensure_sample_rate(chunk, sr_in, self._model_sr))
+        return self._emit(committed, sr_in)
 
     # ------------------------------------------------------------------ #
     # Mid-stream checkpoint / resume (SURVEY.md §5: the runtime state is a
@@ -146,17 +158,18 @@ class StreamEnhancer:
         self._input_sr = snapshot["input_sr"]
 
     def flush(self) -> np.ndarray:
-        """Drain the final partial window by zero-padding to a full frame.
+        """Drain the final partial window by zero-padding it to a full frame.
 
-        Returns at most one hop of enhanced audio; does not reset state.
+        Works for resampled streams too: the pad is injected directly into
+        the model-rate buffer, so it never trips the stream's sample-rate
+        latch (the reference raises here, `stream.py:166-200` there).
+        Returns at most one hop of enhanced audio (at the stream's input
+        rate) and does not reset state.
         """
         if self._in_buf.size == 0:
             return np.zeros(0, dtype=np.float32)
-        sr_in = self._input_sr or self._model_sr
-        pad = np.zeros(self._win_len - len(self._in_buf), dtype=np.float32)
-        out = self.process(pad, sample_rate=self._model_sr)
-        real_out = min(self._hop_size, len(out))
-        trimmed = out[:real_out] if len(out) > 0 else out
-        if sr_in != self._model_sr:
-            trimmed = ensure_sample_rate(trimmed, self._model_sr, sr_in)
-        return trimmed.astype(np.float32)
+        sr_out = self._input_sr if self._input_sr is not None else self._model_sr
+        pad = np.zeros(self._win_len - self._in_buf.shape[0], dtype=np.float32)
+        committed = self._advance(pad)
+        # Only the leading hop came from real (non-padded) input.
+        return self._emit(committed[: self._hop_size], sr_out)

@@ -210,54 +210,70 @@ def _assert_writable_dir(path: Path) -> None:
                 pass
 
 
-def _download_retries() -> int:
-    raw = os.environ.get(
-        "DPDFNET_TPU_DOWNLOAD_RETRIES", str(DEFAULT_DOWNLOAD_RETRIES))
+# Errno values that indicate a transient network condition (as opposed to a
+# local filesystem/permission problem, which no amount of retrying fixes).
+_TRANSIENT_ERRNOS = frozenset(
+    getattr(errno, name) for name in (
+        "ECONNABORTED", "ECONNRESET", "ETIMEDOUT",
+        "ENETRESET", "ENETUNREACH", "EHOSTUNREACH",
+    )
+)
+# Permission-class errnos: always fail fast, even though OSError is broadly
+# catchable, so the caller's actionable "set DPDFNET_TPU_MODEL_DIR" message
+# surfaces immediately.
+_PERMISSION_ERRNOS = frozenset((errno.EACCES, errno.EPERM, errno.EROFS))
+
+
+def _max_download_attempts() -> int:
+    raw = os.environ.get("DPDFNET_TPU_DOWNLOAD_RETRIES")
+    if raw is None:
+        return DEFAULT_DOWNLOAD_RETRIES
     try:
-        retries = int(raw)
+        return max(1, int(raw))
     except ValueError:
-        retries = DEFAULT_DOWNLOAD_RETRIES
-    return max(1, retries)
+        return DEFAULT_DOWNLOAD_RETRIES
 
 
-def _is_retryable_http_error(exc: HTTPError) -> bool:
-    return exc.code in {408, 425, 429, 500, 502, 503, 504}
+def _worth_retrying(exc: Exception) -> bool:
+    """Classify a download failure as transient (retry) or permanent (raise).
+
+    Order matters: HTTPError subclasses URLError subclasses OSError.
+    """
+    if isinstance(exc, HTTPError):
+        # 408/425/429 explicitly ask the client to try again later; of the
+        # 5xx family only 501 (Not Implemented) is permanent.
+        return exc.code in (408, 425, 429) or (
+            500 <= exc.code <= 504 and exc.code != 501)
+    if isinstance(exc, URLError):
+        return True     # connection-level failure (DNS, refused, reset)
+    if isinstance(exc, OSError):
+        if exc.errno in _PERMISSION_ERRNOS:
+            return False
+        return exc.errno in _TRANSIENT_ERRNOS
+    return False
 
 
-def _is_retryable_os_error(exc: OSError) -> bool:
-    return exc.errno in {
-        errno.ECONNABORTED, errno.ECONNRESET, errno.ETIMEDOUT,
-        errno.ENETRESET, errno.ENETUNREACH, errno.EHOSTUNREACH,
-    }
-
-
-def _download_with_retries(
+def _fetch_with_backoff(
     *, url: str, destination: Path, verbose: bool,
     notifier: Optional[Callable[[str], None]],
 ) -> None:
-    attempts = _download_retries()
-    for attempt in range(1, attempts + 1):
+    """Run ``_download_one`` under an exponential-backoff retry policy."""
+    attempts = _max_download_attempts()
+    for attempt in range(attempts):
         try:
             _download_one(url, destination)
             return
-        except HTTPError as exc:
-            if not _is_retryable_http_error(exc) or attempt >= attempts:
+        except (HTTPError, URLError, OSError) as exc:
+            if attempt + 1 >= attempts or not _worth_retrying(exc):
                 raise
-        except URLError:
-            if attempt >= attempts:
-                raise
-        except OSError as exc:
-            if exc.errno in {errno.EACCES, errno.EPERM, errno.EROFS}:
-                raise
-            if not _is_retryable_os_error(exc) or attempt >= attempts:
-                raise
-        wait_s = min(8.0, 0.5 * (2 ** (attempt - 1)))
+        # 0.5 s, 1 s, 2 s, ... capped at 8 s between attempts.
+        delay = min(8.0, 2.0 ** attempt / 2.0)
         if verbose:
             _emit(
                 f"  transient error downloading {destination.name}; retrying "
-                f"in {wait_s:.1f}s ({attempt}/{attempts})", notifier,
+                f"in {delay:.1f}s ({attempt + 1}/{attempts})", notifier,
             )
-        time.sleep(wait_s)
+        time.sleep(delay)
 
 
 def _ensure_downloaded(
@@ -278,7 +294,7 @@ def _ensure_downloaded(
         if verbose:
             _emit(f"  {info.checkpoint_filename} <- {url}", notifier)
         try:
-            _download_with_retries(
+            _fetch_with_backoff(
                 url=url, destination=ckpt_path, verbose=verbose, notifier=notifier)
         except HTTPError as exc:
             detail = f"HTTP {exc.code}" + (f" ({exc.reason})" if exc.reason else "")

@@ -78,12 +78,43 @@ def _rand_spec(cfg, T, seed=0, batch=1):
 
 @pytest.mark.parametrize(
     "name,T",
-    [("baseline", 24), ("dpdfnet2", 24), ("dpdfnet8", 10),
+    [("baseline", 24), ("dpdfnet2", 24), ("dpdfnet4", 16), ("dpdfnet8", 10),
      ("dpdfnet2_48khz_hr", 12), ("dpdfnet8_48khz_hr", 6)],
 )
 def test_forward_matches_reference_streaming(name, T):
+    """All six shipped checkpoint configurations, frame-level parity."""
     cfg = get_config(name)
     _check_parity(cfg, T)
+
+
+def test_long_horizon_parity_dpdfnet2():
+    """EMA-norm / recurrence drift vs the reference over 220 frames (2.2 s).
+
+    The short-T cases above cannot catch a slowly-compounding divergence in
+    the alpha=0.98 EMA norms or the GRU recurrences; this runs long enough
+    for any systematic drift to exceed the gate many times over.
+    Chunked execution also exercises the carried state across device calls.
+    """
+    cfg = get_config("dpdfnet2")
+    model = _build_reference(cfg)
+    T = 220
+    spec_np = _rand_spec(cfg, T, seed=17)
+    ref_out, _ = _run_reference(model, spec_np)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert.convert_state_dict(sd, cfg)
+    st = state_lib.init_state(cfg, batch=1)
+    spec = jnp.asarray(spec_np)
+    outs = []
+    for a in range(0, T, 55):
+        o, st, _ = forward_spec(params, cfg, spec[:, a: a + 55], st)
+        outs.append(np.asarray(o))
+    out = np.concatenate(outs, axis=1)
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=0)
+    # drift check: the LAST 20 frames must be as tight as the first 20
+    tail_err = np.abs(out[:, -20:] - ref_out[:, -20:]).max()
+    assert tail_err < 2e-4, f"late-frame drift: {tail_err}"
 
 
 def test_forward_matches_reference_transpose_upsampling():
@@ -101,6 +132,17 @@ def test_forward_matches_reference_mask_methods(method):
 
     cfg = dataclasses.replace(get_config("dpdfnet2"), mask_method=method)
     _check_parity(cfg, 16)
+
+
+@pytest.mark.parametrize("method", ["separate", "after_df"])
+def test_forward_matches_reference_48k_mask_methods(method):
+    """48 kHz HR per-bin MagnitudeMask x mask_method variants
+    (`/root/reference/onnx_model/dpdfnet_48khz_hr.py:855-872`)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("dpdfnet2_48khz_hr"),
+                              mask_method=method)
+    _check_parity(cfg, 8)
 
 
 def _check_parity(cfg, T):

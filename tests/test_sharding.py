@@ -29,7 +29,7 @@ def test_sharded_offline_matches_single_device(setup):
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32) * 0.1)
 
-    fn = pmesh.make_sharded_enhance(cfg, mesh)
+    fn = pmesh.make_sharded_enhance(cfg, mesh, bucket_s=S / cfg.sample_rate)
     out_sharded = np.asarray(
         fn(params, jax.device_put(wav, pmesh.batch_sharding(mesh))))
 
@@ -40,6 +40,57 @@ def test_sharded_offline_matches_single_device(setup):
     ref = eng.enhance_waveforms(np.asarray(wav))
     n = min(out_sharded.shape[1], ref.shape[1])
     np.testing.assert_allclose(out_sharded[:, :n], ref[:, :n], atol=1e-5)
+
+
+def test_mesh_engine_matches_single_device_same_code_path(setup):
+    """Engine(mesh=...) must produce the same audio as Engine() — the
+    multi-chip path IS the tuned engine, not a parallel implementation."""
+    from dpdfnet_tpu.runtime.engine import Engine
+
+    cfg, params, mesh = setup
+    B, S = 8, cfg.hop * 8
+    rng = np.random.default_rng(3)
+    wav = (0.1 * rng.normal(size=(B, S))).astype(np.float32)
+
+    eng1 = Engine(cfg, params)
+    engm = Engine(cfg, params, mesh=mesh)
+    ref = eng1.enhance_waveforms(wav)
+    got = engm.enhance_waveforms(wav)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # non-multiple batch sizes are padded up transparently
+    got5 = engm.enhance_waveforms(wav[:5])
+    np.testing.assert_allclose(got5, ref[:5], atol=1e-5)
+
+
+def test_mesh_engine_streaming_matches_single_device(setup):
+    """process_frames through a sharded engine == single-device engine."""
+    from dpdfnet_tpu.runtime.engine import Engine
+
+    cfg, params, mesh = setup
+    B = 8
+    rng = np.random.default_rng(4)
+    frames = (0.1 * rng.normal(size=(B, 3, cfg.win_len))).astype(np.float32)
+
+    eng1 = Engine(cfg, params)
+    engm = Engine(cfg, params, mesh=mesh)
+    y1, st1 = eng1.process_frames(frames, eng1.init_stream_state(batch=B))
+    ym, stm = engm.process_frames(frames, engm.init_stream_state(batch=B))
+    np.testing.assert_allclose(ym, y1, atol=1e-5)
+
+    # second call carries state identically
+    y1b, _ = eng1.process_frames(frames, st1)
+    ymb, _ = engm.process_frames(frames, stm)
+    np.testing.assert_allclose(ymb, y1b, atol=1e-5)
+
+
+def test_mesh_engine_rejects_bad_stream_batch(setup):
+    from dpdfnet_tpu.runtime.engine import Engine
+
+    cfg, params, mesh = setup
+    engm = Engine(cfg, params, mesh=mesh)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        engm.init_stream_state(batch=3)
 
 
 def test_sharded_stream_state_carry(setup):

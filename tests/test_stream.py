@@ -103,6 +103,44 @@ def test_resampled_stream_runs(engine):
     assert out.size > 0
 
 
+def test_flush_after_resampled_stream(engine):
+    """flush() must drain a stream that was fed at a non-model rate.
+
+    The reference raises here (its flush calls process(pad, model_sr) which
+    trips the SR-consistency check, `package/src/dpdfnet/stream.py:188-189`);
+    this framework drains correctly and returns output at the caller rate.
+    """
+    se = StreamEnhancer(engine=engine)
+    rng = np.random.default_rng(7)
+    chunk = (0.1 * rng.normal(size=4801)).astype(np.float32)  # odd length
+    out = se.process(chunk, sample_rate=48000)
+    tail = se.flush()
+    assert tail.dtype == np.float32
+    # at most one model hop, expressed at the 48 kHz caller rate (3x)
+    assert 0 < tail.size <= 3 * se._hop_size
+    # the stream stays usable for further processing after flush
+    more = se.process(chunk, sample_rate=48000)
+    assert more.size > 0
+
+
+def test_engine_progress_callback_fires_per_segment(engine):
+    """The stepped offline path reports monotonic per-segment progress and
+    produces the same audio as the fused single-program path."""
+    rng = np.random.default_rng(11)
+    # long enough to span several 112-frame segments (2.5 s @ 16 kHz)
+    x = (0.1 * rng.normal(size=40000)).astype(np.float32)
+    ref = engine.enhance_waveforms(x)
+    events = []
+    got = engine.enhance_waveforms(
+        x, progress_callback=lambda d, t: events.append((d, t)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    assert len(events) >= 4            # 0% + one event per segment
+    assert events[0][0] == 0
+    assert events[-1][0] == events[-1][1] > 0
+    dones = [d for d, _ in events]
+    assert dones == sorted(dones)
+
+
 def test_offline_engine_matches_streaming_math(engine, signal):
     """The offline jitted pipeline and the streaming path run the same model;
     their outputs agree sample-for-sample once aligned (offline output is
