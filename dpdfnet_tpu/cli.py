@@ -100,6 +100,17 @@ def _build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("csv", type=Path)
     p_eval.add_argument("--out", default=None,
                         help="Output CSV (default: results.csv next to input)")
+    p_eval.add_argument(
+        "--vs-onnx", type=Path, default=None, metavar="ONNX",
+        help="Run the BASELINE quality gate instead: enhance the corpus with "
+             "this framework AND the reference's exported .onnx graph "
+             "(requires onnxruntime), score both vs clean, and fail if "
+             "|PESQ delta| exceeds --pesq-tolerance.  The CSV must have "
+             "noisy_path,clean_path columns.")
+    p_eval.add_argument("--pesq-tolerance", type=float, default=0.01)
+    p_eval.add_argument("--model", default="dpdfnet8_48khz_hr",
+                        choices=supported_models(),
+                        help="Model to evaluate with --vs-onnx.")
 
     p_demo = sub.add_parser(
         "demo",
@@ -323,6 +334,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.command == "download":
             return _run_download(args)
         if args.command == "eval":
+            if args.vs_onnx is not None:
+                from .quality import validate_vs_onnx
+
+                return validate_vs_onnx(
+                    str(args.csv), str(args.vs_onnx), model=args.model,
+                    out_csv=args.out, pesq_tolerance=args.pesq_tolerance)
             from .metrics import evaluate_csv
 
             out = evaluate_csv(str(args.csv), args.out)

@@ -182,3 +182,29 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
 def count_params(params: Params) -> int:
     leaves = jax.tree_util.tree_leaves(params)
     return int(sum(np.prod(l.shape) for l in leaves))
+
+
+def contract_params(params: Params, factor: float = 0.7) -> Params:
+    """Rescale every >=2-D weight so its (flattened) spectral norm is at
+    most ``factor``.
+
+    Trained speech-enhancement checkpoints have stable, non-amplifying
+    dynamics (bounded layer gains); raw random init does not, which makes it
+    an adversarial input for measuring low-precision tier deviation.  This
+    produces weight statistics representative of real checkpoints for the
+    tier-accuracy gate (``quality.tier_deviation``) while remaining fully
+    reproducible offline.  ERB filterbank matrices are left untouched (they
+    are fixed constants, not learned weights).
+    """
+    def clamp(path, x):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        a = np.asarray(x)
+        if a.ndim < 2 or "erb_fb" in name or "erb_inv_fb" in name:
+            return x
+        s = float(np.linalg.svd(a.reshape(a.shape[0], -1),
+                                compute_uv=False)[0])
+        if s <= factor or s == 0.0:
+            return x
+        return jnp.asarray(a * np.asarray(factor / s, a.dtype))
+
+    return jax.tree_util.tree_map_with_path(clamp, params)

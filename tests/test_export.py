@@ -66,6 +66,57 @@ def test_stream_export_roundtrip(setup, tmp_path):
     np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
 
 
+def test_standalone_consumer_runs_artifact_without_model_code(setup, tmp_path):
+    """The exported artifact + sidecar is a complete deployment contract:
+    a fresh process running only ``examples/consume_stablehlo.py`` (jax +
+    numpy, no dpdfnet_tpu imports) produces the same audio as the in-process
+    streaming engine — the ONNX-interop equivalent the reference gets from
+    onnxruntime (`package/src/dpdfnet/onnx_backend.py:52-107`)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cfg, params = setup
+    artifact = exp_lib.export_stream(params, cfg, tmp_path / "m.stablehlo")
+
+    # consumer script must not touch package code
+    script = Path(__file__).resolve().parent.parent / "examples" / \
+        "consume_stablehlo.py"
+    imports = [ln.strip() for ln in script.read_text().splitlines()
+               if ln.strip().startswith(("import ", "from "))]
+    assert imports and not any("dpdfnet" in ln for ln in imports), imports
+
+    rng = np.random.default_rng(5)
+    wav = (0.1 * rng.normal(size=cfg.sample_rate)).astype(np.float32)
+    in_wav, out_wav = tmp_path / "in.wav", tmp_path / "out.wav"
+
+    from dpdfnet_tpu.audio_io import read_wav, write_wav
+
+    write_wav(in_wav, wav, cfg.sample_rate, subtype="PCM_16")
+    env = dict(os.environ)
+    env["CONSUMER_JAX_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(script), str(artifact), str(in_wav),
+         str(out_wav)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got, sr = read_wav(out_wav)
+    assert sr == cfg.sample_rate
+
+    # in-process reference: the engine's streaming path on the same audio
+    from dpdfnet_tpu.runtime.engine import Engine
+    from dpdfnet_tpu.stream import StreamEnhancer
+
+    quantized = np.asarray(read_wav(in_wav)[0], np.float32)
+    se = StreamEnhancer(engine=Engine(cfg, params))
+    ref = np.concatenate([se.process(quantized), se.flush()])
+    n = min(got.shape[0], ref.shape[0])
+    assert n > cfg.hop * 50
+    # 16-bit output quantization dominates the tolerance
+    np.testing.assert_allclose(got[:n], ref[:n], atol=2e-4)
+
+
 def test_initial_flat_state_matches_pytree(setup):
     cfg, _ = setup
     st = state_lib.init_state(cfg, 1)
