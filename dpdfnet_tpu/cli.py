@@ -144,7 +144,14 @@ def _build_parser() -> argparse.ArgumentParser:
                          help="Benchmark streaming hop latency / capacity "
                               "instead of offline throughput.")
     p_bench.add_argument("--streams", type=int, default=64,
-                         help="Concurrent streams for --streaming.")
+                         help="Concurrent streams for --streaming/--serving.")
+    p_bench.add_argument("--serving", action="store_true",
+                         help="Benchmark the full serving layer "
+                              "(MultiStreamEnhancer.process_many: state "
+                              "gather/scatter + dispatch + OLA) instead of "
+                              "the bare streaming program.")
+    p_bench.add_argument("--hops-per-call", type=int, default=2,
+                         help="Hops of audio batched per serving call.")
     p_bench.add_argument("--profile", type=Path, default=None, metavar="DIR",
                          help="Capture a jax profiler trace of the benched "
                               "program into DIR (view with xprof/tensorboard).")
@@ -293,7 +300,7 @@ def _run_download(args: argparse.Namespace) -> int:
 
 
 def _run_bench(args: argparse.Namespace) -> int:
-    from .runtime.bench import run_bench, run_stream_bench
+    from .runtime.bench import run_bench, run_serving_bench, run_stream_bench
 
     import contextlib
 
@@ -304,7 +311,11 @@ def _run_bench(args: argparse.Namespace) -> int:
         args.profile.mkdir(parents=True, exist_ok=True)
         profile_cm = jax.profiler.trace(str(args.profile))
     with profile_cm:
-        if args.streaming:
+        if args.serving:
+            result = run_serving_bench(
+                model=args.model, streams=args.streams,
+                hops_per_call=args.hops_per_call, precision=args.precision)
+        elif args.streaming:
             result = run_stream_bench(model=args.model, streams=args.streams,
                                       precision=args.precision)
         else:

@@ -85,6 +85,18 @@ def _kdot(a, b, precision):
 _TILE_N = 2048
 
 
+def _sigmoid(x):
+    """Gate sigmoid; DPDFNET_TPU_SIGMOID_TANH=1 computes it as
+    0.5*(tanh(x/2)+1) — mathematically the same function, but lowered as a
+    single tanh instead of exp+divide (an experiment for the VPU
+    transcendental floor; read at trace time)."""
+    if os.environ.get("DPDFNET_TPU_SIGMOID_TANH", "0") not in ("0", "false"):
+        return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+    return jax.nn.sigmoid(x)
+
+
+
+
 def _inter_ts() -> int:
     """Recurrence steps per grid cell in the DPRNN inter kernel
     (override: DPDFNET_TPU_INTER_TS).
@@ -161,8 +173,8 @@ def _kernel(TS: int, H: int, reverse: bool, precision,
             x_ref[idx], wi_ref[:], precision) + b_ref[0:1, :]
         hh = _kdot(
             h, wh_ref[:], precision) + b_ref[1:2, :]
-        r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-        z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+        r = _sigmoid(xp[:, :H] + hh[:, :H])
+        z = _sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
         n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
         h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
         ys_ref[idx] = h
@@ -194,8 +206,8 @@ def _bidir_kernel(H: int, precision,
     hh = _kdot(
         h, wh_ref[:], precision) + b_ref[1:2, :]
     H2 = 2 * H
-    r = jax.nn.sigmoid(xp[:, :H2] + hh[:, :H2])
-    z = jax.nn.sigmoid(xp[:, H2:2 * H2] + hh[:, H2:2 * H2])
+    r = _sigmoid(xp[:, :H2] + hh[:, :H2])
+    z = _sigmoid(xp[:, H2:2 * H2] + hh[:, H2:2 * H2])
     n = jnp.tanh(xp[:, 2 * H2:] + r * hh[:, 2 * H2:])
     h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
     h_scr[:] = h
@@ -366,8 +378,8 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
                     x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
             hh = _kdot(
                 h, wh_ref[:], precision) + b_ref[1:2, :]
-            r = jax.nn.sigmoid(xp[:, :C2] + hh[:, :C2])
-            z = jax.nn.sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+            r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+            z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
             n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
             h = ((1.0 - z) * n + z * h).astype(x_ref.dtype)
             # leading-dim dynamic stores are legal for any dtype.  Slice
@@ -544,8 +556,8 @@ def _inter_block_kernel(TS: int, H: int, precision, eps: float,
             x, wi_ref[:], precision) + b_ref[0:1, :]
         hh = _kdot(
             h, wh_ref[:], precision) + b_ref[1:2, :]
-        r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-        z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+        r = _sigmoid(xp[:, :H] + hh[:, :H])
+        z = _sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
         n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
         h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
 
@@ -807,8 +819,8 @@ def _intra_v2_kernel(T: int, C: int, precision, eps: float,
             tile, H6).astype(jnp.float32)
         xp2 = jnp.where(is_f, xp_s, xp_r)
 
-        r = jax.nn.sigmoid(xp2[:, :C2] + hh[:, :C2])
-        z = jax.nn.sigmoid(xp2[:, C2:2 * C2] + hh[:, C2:2 * C2])
+        r = _sigmoid(xp2[:, :C2] + hh[:, :C2])
+        z = _sigmoid(xp2[:, C2:2 * C2] + hh[:, C2:2 * C2])
         n = jnp.tanh(xp2[:, 2 * C2:] + r * hh[:, 2 * C2:])
         return ((1.0 - z) * n + z * h).astype(jnp.float32)
 
@@ -965,8 +977,8 @@ def _inter_v2_kernel(H: int, precision, eps: float,
     h = h_scr[:]
     xp = xp_ref[0].astype(jnp.float32)
     hh = hh_scr[:] + bh_ref[0:1, :]
-    r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-    z = jax.nn.sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
+    r = _sigmoid(xp[:, :H] + hh[:, :H])
+    z = _sigmoid(xp[:, H:2 * H] + hh[:, H:2 * H])
     n = jnp.tanh(xp[:, 2 * H:] + r * hh[:, 2 * H:])
     h_new = (1.0 - z) * n + z * h
 

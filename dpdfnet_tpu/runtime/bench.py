@@ -70,6 +70,67 @@ def run_stream_bench(
     return json.dumps(result)
 
 
+def run_serving_bench(
+    model: str = "dpdfnet8_48khz_hr",
+    streams: int = 256,
+    hops_per_call: int = 2,
+    calls: int = 12,
+    precision: str = "high",
+) -> str:
+    """Serving-layer benchmark through ``MultiStreamEnhancer.process_many``.
+
+    Unlike ``run_stream_bench`` (pure device cost of the streaming program),
+    this measures the full serving path: per-slot input buffering, the
+    device-side state gather/scatter around the batched call, host dispatch,
+    and OLA commit — i.e. what a frontend aggregating ``hops_per_call`` hops
+    of audio per connection would see.  Reports per-hop wall latency and the
+    implied real-time capacity at this batching depth.
+    """
+    import numpy as np
+
+    from ..config import get_config
+    from ..models.params import init_params
+    from ..runtime.engine import Engine
+    from ..serving import MultiStreamEnhancer
+
+    cfg = get_config(model)
+    engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
+    pool = MultiStreamEnhancer(streams, engine=engine)
+    sids = [pool.open() for _ in range(streams)]
+    rng = np.random.default_rng(0)
+    chunk_len = cfg.hop * hops_per_call
+    hop_ms = cfg.hop / cfg.sample_rate * 1e3
+
+    def feed():
+        chunks = {sid: (0.05 * rng.normal(size=chunk_len)).astype(np.float32)
+                  for sid in sids}
+        return pool.process_many(chunks)
+
+    # prime past the one-window buffering latency + compile
+    feed()
+    feed()
+    lat = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        out = feed()
+        lat.append(time.perf_counter() - t0)
+    per_call = float(np.median(lat)) * 1e3
+    per_hop = per_call / hops_per_call
+    budget_ms = hop_ms * hops_per_call
+    capacity = int(streams * budget_ms / per_call) if per_call > 0 else 0
+    result = {
+        "metric": (f"serving_wall_ms_per_hop_{model}_s{streams}"
+                   f"_h{hops_per_call}_{precision}"),
+        "value": round(per_hop, 3),
+        "unit": "ms_per_hop_wall",
+        "vs_baseline": round(budget_ms / per_call, 3),
+        "per_call_ms": round(per_call, 3),
+        "added_latency_ms": round(per_call, 3),
+        "realtime_stream_capacity_est": capacity,
+    }
+    return json.dumps(result)
+
+
 def run_bench(
     model: str = "dpdfnet8_48khz_hr",
     batch: int = 32,
