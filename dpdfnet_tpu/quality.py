@@ -198,12 +198,19 @@ def tier_deviation(
 
     ref = engine_from_quality(cfg, params, "highest").enhance_waveforms(wav)
     ref_rms = float(np.sqrt(np.mean(ref ** 2)))
-    out = {}
+    in_rms = float(np.sqrt(np.mean(wav ** 2)))
+    out = {"_ref_rms": ref_rms, "_input_rms": in_rms}
     for tier in tiers:
         y = engine_from_quality(cfg, params, tier).enhance_waveforms(wav)
         d = y - ref
+        d_rms = float(np.sqrt(np.mean(d ** 2)))
         out[tier] = {
-            "rel_rms": float(np.sqrt(np.mean(d ** 2)) / max(ref_rms, 1e-12)),
+            "rel_rms": float(d_rms / max(ref_rms, 1e-12)),
             "max_abs": float(np.abs(d).max()),
+            # deviation relative to the *input* scale: a trained enhancer's
+            # output is O(input), so this is the perceptually meaningful
+            # normalisation even when a synthetic model attenuates hard
+            "rms_vs_input_db": float(
+                20.0 * np.log10(max(d_rms, 1e-12) / max(in_rms, 1e-12))),
         }
     return out
