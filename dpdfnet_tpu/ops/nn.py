@@ -62,6 +62,7 @@ def conv_block(
     act: Optional[str] = "relu",
     time_tail: Optional[Array] = None,
     fpad: Optional[Tuple[int, int]] = None,
+    gemm: bool = False,
 ) -> Tuple[Array, Optional[Array]]:
     """Causal Conv2d + optional pointwise + BN(eval) + activation.
 
@@ -81,6 +82,15 @@ def conv_block(
     Returns:
         (y ``[B, T, F', Cout]``, new_tail) — new_tail is the last ``kt-1``
         frames of the (tail-extended) input, or None when ``kt == 1``.
+
+    Layout note: activations are batch-major [B, T, F, C] by design.  A
+    whole-forward time-major [T, B, F, C] variant was built and measured
+    on v5e (b256 'default', segment scan): 1465x with per-tap shifted
+    unit-time convs, 1510x with HNWC dimension_numbers, vs 1876x for this
+    batch-major form — XLA's TPU conv emitters relayout non-batch-major
+    operands around every conv, costing far more than the two per-segment
+    transposes time-major removes (~5% 'data formatting').  Do not retry
+    without new evidence; see CLAUDE.md perf ledger.
     """
     new_tail = None
     if kt > 1:
@@ -93,27 +103,38 @@ def conv_block(
     if fpad is None:
         fpad = (kf // 2, kf // 2)
     groups = x.shape[-1] // p["w"].shape[2]
-    # NOTE: alternatives benchmarked on v5e and rejected: explicit im2col
-    # (slice-stack + GEMM) for the strided convs, and a shifted
-    # channel-reduce for the C_out=1 mask head — both measured slower than
-    # XLA's native conv lowering despite its visible layout copies (the
-    # alternatives' extra activation traffic costs more; see
-    # _conv_patches_gemm kept for experimentation).
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["w"].astype(x.dtype),
-        window_strides=(1, fstride),
-        padding=[(0, 0), fpad],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    # NOTE on lowering choice: for ordinary channel counts XLA's native conv
+    # emitters win (explicit im2col for the strided C=64 convs measured 2x
+    # slower in round 1).  ``gemm=True`` routes a call through the
+    # patches-GEMM form instead — used for channel-starved convs (C_in or
+    # C_out of ~3) where the conv emitters run at <1% MXU utilisation
+    # (the folded HR mask head and erb_conv0; selected per call site).
+    if gemm and groups == 1:
+        assert fpad[0] == fpad[1], "patches-GEMM path assumes symmetric fpad"
+        y = _conv_patches_gemm(p["w"], x, kt=kt, kf=kf, fpad=fpad[0],
+                               fstride=fstride)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(1, fstride),
+            padding=[(0, 0), fpad],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+    return _conv_epilogue(p, y, act), new_tail
+
+
+def _conv_epilogue(p: dict, y: Array, act: Optional[str]) -> Array:
+    """bias -> optional pointwise -> BN(eval) -> activation (layout-agnostic:
+    operates on the trailing channel axis only)."""
     if p.get("b") is not None:
         y = y + p["b"].astype(y.dtype)
     if p.get("pw") is not None:
-        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
+        y = jnp.einsum("...fc,cd->...fd", y, p["pw"]["w"].astype(y.dtype))
     if p.get("bn") is not None:
         y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
-    return apply_act(y, act), new_tail
+    return apply_act(y, act)
 
 
 def _conv_patches_gemm(
@@ -175,13 +196,7 @@ def conv_transpose_block(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
-    if p.get("b") is not None:
-        y = y + p["b"].astype(y.dtype)
-    if p.get("pw") is not None:
-        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
-    if p.get("bn") is not None:
-        y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
-    return apply_act(y, act)
+    return _conv_epilogue(p, y, act)
 
 
 def subpixel_block(
@@ -228,7 +243,8 @@ def subpixel_block(
             y = y * p["bn"]["scale"].astype(y.dtype) \
                 + p["bn"]["shift"].astype(y.dtype)
         return apply_act(y, act)
-    b, t, f, sc = y.shape
+    *lead, f, sc = y.shape
+    lead = tuple(lead)
     c = sc // fstride
     if freq_major:
         # Output channels packed i*C+c: the channel->frequency interleave is
@@ -236,14 +252,14 @@ def subpixel_block(
         # TPU this removes the two giant relayout copies the c*s+i packing
         # costs per upsample (measured ~4.5 ms per 32x128-frame segment at
         # 480 bins on v5e).
-        y = y.reshape(b, t, f * fstride, c)
+        y = y.reshape(lead + (f * fstride, c))
     else:
         # reference packing: channel index c*s+i
-        # [B,T,F,C,s] -> [B,T,F,s,C] -> [B,T,F*s,C]
-        y = y.reshape(b, t, f, c, fstride)
-        y = jnp.swapaxes(y, -1, -2).reshape(b, t, f * fstride, c)
+        # [..,F,C,s] -> [..,F,s,C] -> [..,F*s,C]
+        y = y.reshape(lead + (f, c, fstride))
+        y = jnp.swapaxes(y, -1, -2).reshape(lead + (f * fstride, c))
     if p.get("pw") is not None:
-        y = jnp.einsum("btfc,cd->btfd", y, p["pw"]["w"].astype(y.dtype))
+        y = jnp.einsum("...fc,cd->...fd", y, p["pw"]["w"].astype(y.dtype))
     if p.get("bn") is not None:
         y = y * p["bn"]["scale"].astype(y.dtype) + p["bn"]["shift"].astype(y.dtype)
     return apply_act(y, act)
@@ -333,15 +349,22 @@ def gru_seq(
     # tensor is produced directly in the scan's layout (the relayout copy
     # then moves I-sized rows instead of 3H-sized ones).
     xt = jnp.swapaxes(x, 0, 1)                                       # [T,B,I]
-    xp_t = xt @ p["wi"].astype(x.dtype) + p["bi"].astype(x.dtype)    # [T,B,3H]
+    ys, h_last = _gru_scan_xla(p, xt, h0, reverse, unroll)
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def _gru_scan_xla(p: dict, xt: Array, h0: Array, reverse: bool,
+                  unroll: int) -> Tuple[Array, Array]:
+    """lax.scan GRU over time-major ``xt [T, B, I]`` (the Pallas fallback)."""
+    xp_t = xt @ p["wi"].astype(xt.dtype) + p["bi"].astype(xt.dtype)  # [T,B,3H]
 
     def step(h, xp):
         h_new = gru_cell(p, xp, h)
         return h_new, h_new
 
     h_last, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse,
-                              unroll=min(unroll, max(1, x.shape[1])))
-    return jnp.swapaxes(ys, 0, 1), h_last
+                              unroll=min(unroll, max(1, xt.shape[0])))
+    return ys, h_last
 
 
 def _ambient_precision() -> str:
@@ -417,10 +440,12 @@ def grouped_gru_seq(
     out = jnp.concatenate(ys, axis=-1)
     if shuffle_out:
         # reference GroupedGRU's between-layer channel shuffle:
-        # view [B,T,C/G,G] -> transpose -> [B,T,G,C/G] -> flat
+        # view [..,C/G,G] -> transpose -> [..,G,C/G] -> flat
         # (model/modules.py:1247-1249)
-        B, T, C = out.shape
-        out = out.reshape(B, T, C // g, g).swapaxes(-1, -2).reshape(B, T, C)
+        *lead, C = out.shape
+        lead = tuple(lead)
+        out = out.reshape(lead + (C // g, g)).swapaxes(-1, -2).reshape(
+            lead + (C,))
     return out, hs
 
 
