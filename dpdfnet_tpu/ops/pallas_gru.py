@@ -91,7 +91,14 @@ def _sigmoid(x):
     trims the per-step VPU transcendental cost that bounds these kernels
     (measured: 1808 -> 1878 xRT on the b256 flagship bench; outputs differ
     from jax.nn.sigmoid only in last-bit rounding, ~6e-8).
-    DPDFNET_TPU_SIGMOID_TANH=0 restores the exp form (read at trace time)."""
+    DPDFNET_TPU_SIGMOID_TANH=0 restores the exp form (read at trace time).
+
+    Gate-math ceiling, measured (round 2, b256 flagship 'default'): with
+    ALL gate transcendentals AND the sigmoid pre/post scales replaced by
+    identity (wrong math, timing only) the bench moves 1873 -> 1893 xRT,
+    i.e. the entire gate-function budget is ~1% e2e.  The kernels are
+    bound by the per-step MXU dots / pipeline, not VPU gate math — do not
+    invest in cheaper tanh approximations or gate algebra."""
     if os.environ.get("DPDFNET_TPU_SIGMOID_TANH", "1") in ("0", "false"):
         return jax.nn.sigmoid(x)
     return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
