@@ -124,6 +124,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="Dry/wet mix: 0 = passthrough noisy, 1 = enhanced.")
     p_demo.add_argument("--chunk-ms", type=float, default=10.0,
                         help="Streaming chunk size in milliseconds.")
+    p_demo.add_argument("--spectrogram", action="store_true",
+                        help="Render scrolling noisy|enhanced spectrograms "
+                             "as ANSI text (terminal stand-in for the "
+                             "reference's Qt spectrogram view).")
     _add_model_resolution_args(p_demo)
 
     p_bench = sub.add_parser("bench", help="Measure offline throughput (xRT).")
@@ -362,7 +366,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return run_demo(
                 model=args.model, input_path=args.input,
                 output_path=args.output, mix=args.mix,
-                chunk_ms=args.chunk_ms, verbose=args.verbose)
+                chunk_ms=args.chunk_ms, verbose=args.verbose,
+                spectrogram=args.spectrogram)
         if args.command == "bench":
             return _run_bench(args)
     except Exception as exc:

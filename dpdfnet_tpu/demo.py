@@ -60,6 +60,7 @@ def run_demo(
     chunk_ms: float = 10.0,
     verbose: bool = False,
     max_seconds: Optional[float] = None,
+    spectrogram: bool = False,
 ) -> int:
     from .stream import StreamEnhancer
 
@@ -67,14 +68,21 @@ def run_demo(
     sr = se._model_sr
     chunk = max(1, int(sr * chunk_ms / 1000.0))
 
+    viz = None
+    if spectrogram:
+        from .termviz import TerminalSpectrogram
+
+        # ~12 lines/s: window 32 ms, one line per ~80 ms of audio
+        viz = TerminalSpectrogram(sr, n_fft=1 << max(9, (sr // 32000) + 9),
+                                  hop=int(sr * 0.08))
     if input_path is None:
-        return _run_live(se, sr, chunk, mix)
+        return _run_live(se, sr, chunk, mix, viz)
     return _run_file(se, sr, chunk, mix, Path(input_path), output_path,
-                     max_seconds)
+                     max_seconds, viz)
 
 
 def _run_file(se, sr, chunk, mix, input_path: Path,
-              output_path: Optional[Path], max_seconds) -> int:
+              output_path: Optional[Path], max_seconds, viz=None) -> int:
     from .audio import ensure_sample_rate, pcm16_safe, to_mono
     from .audio_io import read_audio, write_wav
 
@@ -101,6 +109,8 @@ def _run_file(se, sr, chunk, mix, input_path: Path,
         if enhanced.size:
             nz = noisy_delayed[consumed: consumed + enhanced.size]
             consumed += enhanced.size
+            if viz is not None:
+                viz.feed(nz, enhanced)
             outs.append(agc(_mix(nz, enhanced, mix)))
     outs.append(se.flush())
     wall = time.perf_counter() - t_start
@@ -117,7 +127,7 @@ def _run_file(se, sr, chunk, mix, input_path: Path,
     return 0
 
 
-def _run_live(se, sr, chunk, mix) -> int:
+def _run_live(se, sr, chunk, mix, viz=None) -> int:
     try:
         import sounddevice as sd
     except ImportError:
@@ -143,6 +153,8 @@ def _run_live(se, sr, chunk, mix) -> int:
         out[:n] = state["backlog"][:n]
         state["backlog"] = state["backlog"][n:]
         noisy = indata[:n, 0]
+        if viz is not None and n:
+            viz.feed(noisy, out[:n])
         mixed = agc(_mix(noisy, out[:n], mix)) if n else out[:0]
         outdata[:, 0] = 0.0
         outdata[: mixed.shape[0], 0] = mixed

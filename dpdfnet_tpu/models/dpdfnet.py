@@ -223,9 +223,20 @@ def _dprnn_fused(
 # --------------------------------------------------------------------------- #
 
 def _squeezed_gru(
-    p: Params, x: Array, hs: List[Array], skip: str = "none"
+    p: Params, x: Array, hs: List[Array], skip: str = "none",
+    skip_position: str = "output",
 ) -> Tuple[Array, List[Array]]:
-    h = onn.grouped_linear(p["lin_in"], x, act="relu")
+    """Squeezed GRU stack.
+
+    ``skip_position`` selects between the two reference module generations:
+    ``"output"`` is SqueezedGRU_S (model/modules.py:1037-1094) — the skip
+    sees the RAW input and is added after linear_out; ``"inner"`` is the
+    legacy SqueezedGRU (model/modules.py:980-1034) — the skip sees the
+    linear_in output and is added to the GRU output BEFORE linear_out.
+    No shipped checkpoint uses the legacy variant; it is provided (and
+    parity-tested) for state dicts predating the _S rewrite.
+    """
+    h = x_in = onn.grouped_linear(p["lin_in"], x, act="relu")
     if len(p["grus"]) != len(hs):
         raise ValueError(
             f"state carries {len(hs)} GRU hiddens but this SqueezedGRU has "
@@ -246,6 +257,17 @@ def _squeezed_gru(
         else:
             h, h_last = onn.gru_seq(gp, h, h0=h0)
             new_hs.append(h_last)
+    if skip_position == "inner":
+        # legacy SqueezedGRU: skip(linear_in(x)) added before linear_out
+        # (model/modules.py:1013-1018; gru_skip_op is Identity there)
+        if skip == "identity":
+            h = h + x_in
+        elif skip == "groupedlinear":
+            g, ig, _ = p["skip"]["w"].shape
+            h = h + onn.grouped_linear(p["skip"], x_in[..., : g * ig])
+        if "lin_out" in p:
+            h = onn.grouped_linear(p["lin_out"], h, act="relu")
+        return h, new_hs
     if "lin_out" in p:
         h = onn.grouped_linear(p["lin_out"], h, act="relu")
     # optional gru_skip applied to the raw input after linear_out

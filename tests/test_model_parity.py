@@ -256,3 +256,61 @@ def test_forward_matches_reference_emb_gru_skip(skip):
     st = state_lib.init_state(cfg, batch=1)
     out, _, _ = forward_spec(params, cfg, jnp.asarray(spec_np), st)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=0)
+
+
+@pytest.mark.parametrize("skip_op", ["identity", "none"])
+def test_legacy_squeezed_gru_matches_reference(skip_op):
+    """The legacy SqueezedGRU module (skip added to the GRU output BEFORE
+    linear_out, seeing the linear_in output — model/modules.py:980-1034)
+    matches our ``_squeezed_gru(..., skip_position='inner')``.
+
+    No shipped checkpoint uses this generation of the module; the variant
+    exists for pre-_S state dicts.
+    """
+    add_reference_paths()
+    import os
+    import sys
+
+    model_dir = os.path.join(os.path.dirname(__file__), "..")
+    ref_model_dir = "/root/reference/model"
+    if ref_model_dir not in sys.path:
+        sys.path.insert(0, ref_model_dir)
+    import torch
+    from torch import nn as tnn
+
+    import modules as ref_modules
+
+    torch.manual_seed(7)
+    I = H = 64
+    mod = ref_modules.SqueezedGRU(
+        input_size=I, hidden_size=H, output_size=I, num_layers=1,
+        linear_groups=8, batch_first=True,
+        gru_skip_op=(tnn.Identity if skip_op == "identity" else None),
+        linear_act_layer=tnn.ReLU,
+    )
+    mod.eval()
+    for p in mod.parameters():  # non-degenerate weights
+        torch.nn.init.uniform_(p, -0.4, 0.4)
+
+    rng = np.random.default_rng(11)
+    x_np = rng.normal(size=(2, 9, I)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_out, _ = mod(torch.from_numpy(x_np))
+    ref_out = ref_out.numpy()
+
+    class _Holder(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+    sd = {k: v.detach().numpy()
+          for k, v in _Holder(mod).state_dict().items()}
+    p = convert._squeezed(convert._SD(convert.normalize_state_dict(sd)),
+                          "m", layers=1, groups=8, has_out=True)
+
+    from dpdfnet_tpu.models.dpdfnet import _squeezed_gru
+
+    hs = [jnp.zeros((2, H), dtype=jnp.float32)]
+    out, _ = _squeezed_gru(p, jnp.asarray(x_np), hs, skip=skip_op,
+                           skip_position="inner")
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5, rtol=0)

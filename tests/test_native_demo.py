@@ -108,3 +108,60 @@ def test_demo_live_mode_without_sounddevice(monkeypatch, capsys):
     rc = demo._run_live(se, 16000, 160, 1.0)
     assert rc == 2
     assert "sounddevice" in capsys.readouterr().err
+
+
+def test_termviz_renders_ansi_lines():
+    """TerminalSpectrogram emits one self-contained ANSI line per hop."""
+    import io
+
+    from dpdfnet_tpu.termviz import TerminalSpectrogram, _band_edges
+
+    edges = _band_edges(257, 36)
+    assert len(edges) == 37
+    assert (np.diff(edges) >= 1).all()
+
+    buf = io.StringIO()
+    viz = TerminalSpectrogram(16000, bands=36, n_fft=512, hop=512, out=buf)
+    rng = np.random.default_rng(0)
+    noisy = rng.normal(size=2048).astype(np.float32) * 0.1
+    enhanced = noisy * 0.3
+    printed = viz.feed(noisy, enhanced)
+    assert printed == 4  # 2048 samples, 512-window/512-hop -> 4 full frames
+    lines = buf.getvalue().splitlines()
+    assert "noisy" in lines[0] and "enhanced" in lines[0]
+    for line in lines[1:]:
+        # 2 panels x 36 background-colored cells, each panel reset-terminated
+        assert line.count("\x1b[48;5;") == 72
+        assert line.count("\x1b[0m") == 2
+    # louder signal maps to brighter (higher ramp index) cells than silence
+    loud = viz.render_line(np.full(512, 0.5, np.float32),
+                           np.zeros(512, np.float32))
+    left, right = loud.split("|")
+    assert left != right
+
+
+def test_demo_file_mode_spectrogram(tmp_path, capsys):
+    """--spectrogram path prints spectrogram lines alongside latency stats."""
+    from dpdfnet_tpu import demo
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.runtime.engine import Engine
+    from dpdfnet_tpu.stream import StreamEnhancer
+    from dpdfnet_tpu.termviz import TerminalSpectrogram
+
+    cfg = get_config("dpdfnet2")
+    eng = Engine(cfg, init_params(cfg, seed=0))
+    noisy = np.random.default_rng(1).normal(size=8000).astype(np.float32) * 0.1
+    src = tmp_path / "in.wav"
+    audio_io.write_wav(src, noisy, 16000)
+
+    se = StreamEnhancer(engine=eng)
+    import io as _io
+
+    vout = _io.StringIO()
+    viz = TerminalSpectrogram(16000, n_fft=512, hop=1280, out=vout)
+    rc = demo._run_file(se, 16000, 160, 1.0, src, None, max_seconds=None,
+                        viz=viz)
+    assert rc == 0
+    assert "RTF" in capsys.readouterr().out
+    assert vout.getvalue().count("\x1b[48;5;") > 0
