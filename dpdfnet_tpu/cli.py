@@ -154,8 +154,16 @@ def _build_parser() -> argparse.ArgumentParser:
                               "(MultiStreamEnhancer.process_many: state "
                               "gather/scatter + dispatch + OLA) instead of "
                               "the bare streaming program.")
-    p_bench.add_argument("--hops-per-call", type=int, default=2,
-                         help="Hops of audio batched per serving call.")
+    p_bench.add_argument("--hops-per-call", type=int, default=None,
+                         help="Hops of audio batched per call (default: 2 "
+                              "for --serving; for --streaming, 0 = whole "
+                              "clip in one dispatch, the amortised "
+                              "steady-state device cost).")
+    p_bench.add_argument("--mode", default="exact",
+                         choices=["exact", "throughput"],
+                         help="Streaming program: 'exact' (bit-invariant "
+                              "per-frame scan) or 'throughput' "
+                              "(time-vectorised serving mode).")
     p_bench.add_argument("--profile", type=Path, default=None, metavar="DIR",
                          help="Capture a jax profiler trace of the benched "
                               "program into DIR (view with xprof/tensorboard).")
@@ -315,13 +323,17 @@ def _run_bench(args: argparse.Namespace) -> int:
         args.profile.mkdir(parents=True, exist_ok=True)
         profile_cm = jax.profiler.trace(str(args.profile))
     with profile_cm:
+        hops = args.hops_per_call
         if args.serving:
             result = run_serving_bench(
                 model=args.model, streams=args.streams,
-                hops_per_call=args.hops_per_call, precision=args.precision)
+                hops_per_call=2 if hops is None else hops,
+                precision=args.precision, mode=args.mode)
         elif args.streaming:
-            result = run_stream_bench(model=args.model, streams=args.streams,
-                                      precision=args.precision)
+            result = run_stream_bench(
+                model=args.model, streams=args.streams,
+                precision=args.precision, mode=args.mode,
+                hops_per_call=0 if hops is None else hops)
         else:
             result = run_bench(model=args.model, batch=args.batch,
                                seconds=args.seconds, reps=args.reps,

@@ -140,15 +140,28 @@ def _dprnn_block(
 
 
 def _dprnn(
-    p_blocks: List[Params], x: Array, hs: List[Array]
+    p_blocks: List[Params], x: Array, hs: List[Array],
+    stacked: Optional[Params] = None,
 ) -> Tuple[Array, List[Array]]:
     if len(p_blocks) != len(hs):
         raise ValueError(
             f"state carries {len(hs)} DPRNN block hiddens but the model has "
             f"{len(p_blocks)} blocks — state from a different configuration?")
-    if (p_blocks and _pallas_enabled()
-            and all(p["intra"].get("packed") is not None for p in p_blocks)):
-        return _dprnn_fused(p_blocks, x, hs)
+    if p_blocks and _pallas_enabled():
+        from ..ops import pallas_gru
+
+        if stacked is not None and pallas_gru.stack_enabled():
+            # Whole stack in merged intra+inter kernels: the inter-stage
+            # plane never round-trips HBM (see pallas_gru.dprnn_stack).
+            xt = jnp.swapaxes(x, 0, 1)                    # [T, B, Fq, C]
+            out, hl = pallas_gru.dprnn_stack(
+                xt, jnp.stack(hs), stacked,
+                precision=onn._ambient_precision(),
+                interpret=pallas_gru.interpret_default(),
+            )
+            return jnp.swapaxes(out, 0, 1), list(hl)
+        if all(p["intra"].get("packed") is not None for p in p_blocks):
+            return _dprnn_fused(p_blocks, x, hs)
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         x, h_new = _dprnn_block(p, x, h)
@@ -326,7 +339,8 @@ def _encoder(
                            act="relu")
     e3, _ = onn.conv_block(p["erb_conv3"], e2, kt=1, kf=kfc, fstride=s3,
                            act="relu")
-    e3d, new_dprnn_erb = _dprnn(p["dprnn_erb"], e3, state["dprnn_erb"])
+    e3d, new_dprnn_erb = _dprnn(p["dprnn_erb"], e3, state["dprnn_erb"],
+                                stacked=p.get("dprnn_erb_stacked"))
 
     c0, new_df_tail = onn.conv_block(
         p["df_conv0"], feat_spec, kt=kt, kf=kf, act="relu",
@@ -334,7 +348,8 @@ def _encoder(
     )
     c1, _ = onn.conv_block(p["df_conv1"], c0, kt=1, kf=kfc, fstride=2,
                            act="relu")
-    c1d, new_dprnn_df = _dprnn(p["dprnn_df"], c1, state["dprnn_df"])
+    c1d, new_dprnn_df = _dprnn(p["dprnn_df"], c1, state["dprnn_df"],
+                               stacked=p.get("dprnn_df_stacked"))
 
     B, T = feat_erb.shape[:2]
     cemb = c1d.reshape(B, T, -1)                                  # [(f c)]

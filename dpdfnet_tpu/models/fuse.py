@@ -274,5 +274,10 @@ def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
             bp["inter"] = inter
             blocks.append(bp)
         enc[branch] = blocks
+        if blocks:
+            # branch-level stacked bundle for the merged DPRNN-stack kernel
+            # (ops.pallas_gru.dprnn_stack): every per-block tensor stacked
+            # on a leading K axis; biases/LN params as [K, 1, C] rows.
+            enc[branch + "_stacked"] = pallas_gru.pack_stack(blocks)
     p["enc"] = enc
     return p

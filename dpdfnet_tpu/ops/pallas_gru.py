@@ -760,6 +760,286 @@ def gru_scan_tm(
 
 
 # --------------------------------------------------------------------------- #
+# Merged DPRNN-stack kernel: K blocks' intra+inter stages in one walk
+# --------------------------------------------------------------------------- #
+#
+# The separate intra/inter kernels round-trip the full activation plane
+# [T, N, Fq, C] through HBM at every stage boundary: per block that is one
+# write (intra out) + one read (inter in), plus the block-boundary
+# write/read between consecutive blocks — ~10x the stack's unavoidable
+# traffic (read x once, write out once).  The profile shows the inter
+# kernel DMA-bound (~2x compute), so that traffic is exposed wall time.
+#
+# This kernel walks the time axis sequentially (grid (row_tiles, T)) and,
+# per time step, runs K whole blocks back to back in VMEM:
+#
+#     cur = x[t]                                  # [tile, Fq, C]
+#     for k in 0..K-1:
+#         cur += LN(fc(bidirGRU_Fq(cur)))         # intra, walk along Fq
+#         h[k] = GRUstep(h[k], cur)               # inter, one step of t
+#         cur += LN(fc(h[k]))
+#     out[t] = cur
+#
+# The only HBM traffic is x in and out once, plus the h0/h_last carries at
+# the tile boundary.  The per-step dot shapes at the default tile are
+# identical to the separate kernels' (intra M=tile, inter M=tile*Fq), so
+# MXU utilisation is unchanged — the win is purely the removed stream.
+# K (blocks per call) trades VMEM footprint (h carries are
+# K*tile*Fq*C floats) against boundary traffic; both it and the row tile
+# are env-tunable (DPDFNET_TPU_STACK_K / DPDFNET_TPU_STACK_TILE).
+
+
+def _stack_kernel(K: int, Fq: int, C: int, precision, eps: float,
+                  h0_ref, x_ref,
+                  wi2_ref, wh2_ref, b2_ref, wfci_ref, bfci_ref,
+                  gi_ref, blni_ref,
+                  wit_ref, wht_ref, b2t_ref, wfct_ref, bfct_ref,
+                  gt_ref, blnt_ref,
+                  out_ref, hl_ref,
+                  cur_scr, scrf, scrb, x2s, h_scr):
+    t = pl.program_id(1)
+    tile = cur_scr.shape[0]
+    C2 = 2 * C
+    CH = 8 if Fq % 8 == 0 else 1
+    dtype = cur_scr.dtype
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    cur_scr[:] = x_ref[0]
+
+    for k in range(K):
+        # ---- intra: bidirectional GRU along Fq + fc/LN/residual, in place.
+        # Same walk as _intra_block_kernel (chunked, 8-aligned dynamic
+        # slices on the sublane dim), reading/writing the cur scratch.
+        wi2k = wi2_ref[k]
+        wh2k = wh2_ref[k]
+        bik = b2_ref[k, 0:1, :]
+        bhk = b2_ref[k, 1:2, :]
+
+        def chunk(ci, h):
+            base = pl.multiple_of(ci * CH, CH)
+            rbase = pl.multiple_of(Fq - CH - ci * CH, CH)
+            xf_c = cur_scr[:, pl.ds(base, CH), :]            # [tile, CH, C]
+            xb_c = cur_scr[:, pl.ds(rbase, CH), :]
+            for s in range(CH):
+                x2s[:, :C] = xf_c[:, s, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - s, :]
+                xp = _kdot(x2s[:], wi2k, precision) + bik
+                hh = _kdot(h, wh2k, precision) + bhk
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(dtype)
+                hf = h[:, :C]
+                hb = h[:, C:]
+                scrf[pl.ds(base + s, 1)] = hf[None]
+                scrb[pl.ds(rbase + (CH - 1 - s), 1)] = hb[None]
+            return h
+
+        jax.lax.fori_loop(0, Fq // CH, chunk,
+                          jnp.zeros((tile, C2), dtype))
+
+        for c0 in range(0, Fq, CH):
+            x_c = cur_scr[:, c0:c0 + CH, :]
+            for s in range(CH):
+                y = _kdot(scrf[c0 + s], wfci_ref[k, :C, :], precision) + \
+                    _kdot(scrb[c0 + s], wfci_ref[k, C:, :], precision) + \
+                    bfci_ref[k, 0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + eps)
+                yn = (yn * gi_ref[k, 0:1, :] + blni_ref[k, 0:1, :]).astype(
+                    dtype)
+                cur_scr[:, c0 + s, :] = x_c[:, s, :] + yn
+
+        # ---- inter: one GRU step of the time recurrence over the
+        # flattened [tile*Fq, C] rows, + fc/LN/residual.
+        xi = cur_scr[:].reshape(tile * Fq, C)
+        h = h_scr[k].reshape(tile * Fq, C)
+        xp = _kdot(xi, wit_ref[k], precision) + b2t_ref[k, 0:1, :]
+        hh = _kdot(h, wht_ref[k], precision) + b2t_ref[k, 1:2, :]
+        r = _sigmoid(xp[:, :C] + hh[:, :C])
+        z = _sigmoid(xp[:, C:2 * C] + hh[:, C:2 * C])
+        n = jnp.tanh(xp[:, 2 * C:] + r * hh[:, 2 * C:])
+        h_new = ((1.0 - z) * n + z * h).astype(dtype)
+        h_scr[k] = h_new.reshape(tile, Fq, C)
+        y = _kdot(h_new, wfct_ref[k], precision) + bfct_ref[k, 0:1, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = (yn * gt_ref[k, 0:1, :] + blnt_ref[k, 0:1, :]).astype(dtype)
+        cur_scr[:] = (xi + yn).reshape(tile, Fq, C)
+
+    out_ref[0] = cur_scr[:]
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hl_ref[:] = h_scr[:]
+
+
+def pack_stack(blocks: list) -> dict:
+    """Stack K DPRNN block parameter dicts for :func:`dprnn_stack`.
+
+    Each block dict needs ``intra.packed`` (``_pack_bidir`` output),
+    ``intra.fc/ln`` and ``inter.gru/fc/ln`` — the layout produced by
+    ``models.fuse.pack_dprnn_bidir``.  Biases/LN vectors are stored as
+    ``[K, 1, C]`` rows so the kernel can address them per block.
+    """
+    def stk(get):
+        return jnp.stack([jnp.asarray(get(b), jnp.float32) for b in blocks])
+
+    def row(get):
+        return jnp.stack(
+            [jnp.asarray(get(b), jnp.float32).reshape(1, -1)
+             for b in blocks])
+
+    return {
+        "wi2": stk(lambda b: b["intra"]["packed"]["wi2"]),
+        "wh2": stk(lambda b: b["intra"]["packed"]["wh2"]),
+        "b2": stk(lambda b: b["intra"]["packed"]["b2"]),
+        "wfc_i": stk(lambda b: b["intra"]["fc"]["w"]),
+        "bfc_i": row(lambda b: b["intra"]["fc"]["b"]),
+        "g_i": row(lambda b: b["intra"]["ln"]["g"]),
+        "bln_i": row(lambda b: b["intra"]["ln"]["b"]),
+        "wi_t": stk(lambda b: b["inter"]["gru"]["wi"]),
+        "wh_t": stk(lambda b: b["inter"]["gru"]["wh"]),
+        "b2_t": stk(lambda b: jnp.stack(
+            [b["inter"]["gru"]["bi"], b["inter"]["gru"]["bh"]])),
+        "wfc_t": stk(lambda b: b["inter"]["fc"]["w"]),
+        "bfc_t": row(lambda b: b["inter"]["fc"]["b"]),
+        "g_t": row(lambda b: b["inter"]["ln"]["g"]),
+        "bln_t": row(lambda b: b["inter"]["ln"]["b"]),
+    }
+
+
+def _stack_k() -> int:
+    """Blocks per merged-stack kernel call (DPDFNET_TPU_STACK_K).
+
+    Bounds the kernel's VMEM footprint: the inter hidden carries cost
+    K*tile*Fq*C floats of scratch plus the same again for the h0/h_last
+    pipeline buffers."""
+    return int(os.environ.get("DPDFNET_TPU_STACK_K", "4"))
+
+
+def _stack_tile() -> int:
+    """Row tile of the merged-stack kernel (DPDFNET_TPU_STACK_TILE)."""
+    return int(os.environ.get("DPDFNET_TPU_STACK_TILE", "256"))
+
+
+def stack_enabled() -> bool:
+    """Use the merged DPRNN-stack kernel? (DPDFNET_TPU_STACK=0/1)."""
+    return os.environ.get(
+        "DPDFNET_TPU_STACK", "1") not in ("0", "false", "False")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "k_max", "tile"))
+def dprnn_stack(
+    x_tm: Array,
+    h0: Array,
+    stacked: dict,
+    *,
+    precision: str = "high",
+    interpret: bool = False,
+    k_max: int | None = None,
+    tile: int | None = None,
+) -> Tuple[Array, Array]:
+    """Run a whole DPRNN block stack over time-major ``x_tm: [T, N, Fq, C]``.
+
+    ``h0: [K, N, Fq, C]`` carries every block's inter-GRU hidden;
+    ``stacked`` holds the per-block weights stacked on a leading K axis
+    (see ``models.fuse.pack_dprnn_bidir``).  Returns (out_tm, h_last) with
+    the same shapes — matching K applications of
+    ``dprnn_intra_block`` + ``dprnn_inter_block`` exactly (same per-step
+    op sequence; the intermediate plane just never leaves VMEM).
+    """
+    T, N, Fq, C = x_tm.shape
+    K = h0.shape[0]
+    if x_tm.dtype == jnp.bfloat16 and not interpret:
+        # Same Mosaic bf16 limitation as dprnn_intra_block: run f32.
+        out, hl = dprnn_stack(
+            x_tm.astype(jnp.float32), h0.astype(jnp.float32), stacked,
+            precision=precision, interpret=interpret, k_max=k_max, tile=tile)
+        return out.astype(x_tm.dtype), hl.astype(h0.dtype)
+    dtype = x_tm.dtype
+
+    k_max = _stack_k() if k_max is None else k_max
+    if K > max(1, k_max):
+        # split the stack into ceil(K/k_max) sequential kernel calls —
+        # bounds VMEM; only the split boundaries round-trip HBM.
+        ks = max(1, k_max)
+        out, hls = x_tm, []
+        for k0 in range(0, K, ks):
+            sub = {name: w[k0:k0 + ks] for name, w in stacked.items()}
+            out, hl = dprnn_stack(
+                out, h0[k0:k0 + ks], sub, precision=precision,
+                interpret=interpret, k_max=ks, tile=tile)
+            hls.append(hl)
+        return out, jnp.concatenate(hls, axis=0)
+
+    tile = _pick_tile(N, _stack_tile() if tile is None else tile)
+    n_pad = (-N) % tile
+    if n_pad:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+    Np = N + n_pad
+
+    kern = functools.partial(
+        _stack_kernel, K, Fq, C, _PRECISIONS[precision], 1e-5)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((K, tile, Fq, C), lambda i, t: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    out, h_last = pl.pallas_call(
+        kern,
+        grid=(Np // tile, T),
+        in_specs=[
+            carry_spec,                                           # h0
+            pl.BlockSpec((1, tile, Fq, C), lambda i, t: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),                # x block
+            full, full, full, full, full, full, full,             # intra w
+            full, full, full, full, full, full, full,             # inter w
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, Fq, C), lambda i, t: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            carry_spec,                                           # h_last
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Np, Fq, C), dtype),
+            jax.ShapeDtypeStruct((K, Np, Fq, C), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, Fq, C), dtype),                     # cur
+            pltpu.VMEM((Fq, tile, C), dtype),                     # ys_fw
+            pltpu.VMEM((Fq, tile, C), dtype),                     # ys_bw
+            pltpu.VMEM((tile, 2 * C), dtype),                     # x2 staging
+            pltpu.VMEM((K, tile, Fq, C), dtype),                  # h carries
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_kernel_vmem(),
+        ),
+        interpret=interpret,
+    )(h0, x_tm,
+      stacked["wi2"].astype(dtype), stacked["wh2"].astype(dtype),
+      stacked["b2"].astype(dtype), stacked["wfc_i"].astype(dtype),
+      stacked["bfc_i"].astype(dtype), stacked["g_i"].astype(dtype),
+      stacked["bln_i"].astype(dtype),
+      stacked["wi_t"].astype(dtype), stacked["wh_t"].astype(dtype),
+      stacked["b2_t"].astype(dtype), stacked["wfc_t"].astype(dtype),
+      stacked["bfc_t"].astype(dtype), stacked["g_t"].astype(dtype),
+      stacked["bln_t"].astype(dtype))
+
+    if n_pad:
+        out = out[:, :N]
+        h_last = h_last[:, :N]
+    return out, h_last
+
+
+# --------------------------------------------------------------------------- #
 # v2 DPRNN kernels: hoisted input projections + fc folded into the recurrence
 # --------------------------------------------------------------------------- #
 #

@@ -25,9 +25,18 @@ def run_stream_bench(
     streams: int = 64,
     seconds: float = 2.0,
     precision: str = "high",
+    mode: str = "exact",
+    hops_per_call: int = 0,
 ) -> str:
     """Streaming serving benchmark: per-hop latency for a batch of live
-    streams and the implied real-time stream capacity per chip."""
+    streams and the implied real-time stream capacity per chip.
+
+    ``mode``: "exact" (bit-invariant per-frame scan) or "throughput"
+    (time-vectorised serving program; see Engine.process_frames).
+    ``hops_per_call`` > 0 times dispatches of that many hops each — the
+    cadence a serving frontend batching N hops per call would drive — and
+    reports the added latency per call.  0 = the whole clip in one
+    dispatch (pure steady-state device cost, amortised)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,31 +50,60 @@ def run_stream_bench(
     rng = np.random.default_rng(0)
     hop_s = cfg.hop / cfg.sample_rate
     n_hops = max(16, int(seconds / hop_s))
-    frames = jnp.asarray(
-        rng.normal(size=(streams, n_hops, cfg.win_len)).astype(np.float32)
-        * 0.05)
+    make_fn = (engine._stream_vec_fn if mode == "throughput"
+               else engine._stream_fn)
 
-    # steady-state device cost per hop: n_hops processed per-frame (the
-    # streaming program) inside ONE dispatch — host dispatch overhead is
-    # deployment-specific and excluded, like the offline bench's staging.
-    run = engine._stream_fn(streams, n_hops)
-    y, st = run(engine.params, frames, st)
-    float(jnp.sum(y))                                   # compile + warm
-    lat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    extra = {}
+    if hops_per_call:
+        # realistic cadence: one dispatch per hops_per_call hops, state
+        # carried call to call.  n_calls chosen to cover ~`seconds` audio.
+        T = int(hops_per_call)
+        n_calls = max(8, n_hops // T)
+        frames = jnp.asarray(
+            rng.normal(size=(streams, T, cfg.win_len)).astype(np.float32)
+            * 0.05)
+        run = make_fn(streams, T)
         y, st = run(engine.params, frames, st)
-        float(jnp.sum(y))
-        lat.append((time.perf_counter() - t0) / n_hops)
-    per_hop = float(np.median(lat)) * 1e3
+        float(jnp.sum(y))                               # compile + warm
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                y, st = run(engine.params, frames, st)
+            float(jnp.sum(y))
+            lat.append((time.perf_counter() - t0) / (n_calls * T))
+        per_hop = float(np.median(lat)) * 1e3
+        extra = {"hops_per_call": T,
+                 "added_latency_ms": round(per_hop * T, 3)}
+        tag = f"_h{T}"
+    else:
+        # steady-state device cost per hop: n_hops processed inside ONE
+        # dispatch — host dispatch overhead is deployment-specific and
+        # excluded, like the offline bench's staging.
+        frames = jnp.asarray(
+            rng.normal(size=(streams, n_hops, cfg.win_len)).astype(np.float32)
+            * 0.05)
+        run = make_fn(streams, n_hops)
+        y, st = run(engine.params, frames, st)
+        float(jnp.sum(y))                               # compile + warm
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y, st = run(engine.params, frames, st)
+            float(jnp.sum(y))
+            lat.append((time.perf_counter() - t0) / n_hops)
+        per_hop = float(np.median(lat)) * 1e3
+        tag = ""
     budget_ms = hop_s * 1e3
     capacity = int(streams * budget_ms / per_hop) if per_hop > 0 else 0
     result = {
-        "metric": f"stream_hop_device_ms_{model}_s{streams}_{precision}",
+        "metric": (f"stream_hop_device_ms_{model}_s{streams}{tag}"
+                   f"_{mode}_{precision}"),
         "value": round(per_hop, 3),
         "unit": "ms_per_hop",
         "vs_baseline": round(budget_ms / per_hop, 3),
         "realtime_stream_capacity_est": capacity,
+        **extra,
     }
     return json.dumps(result)
 
@@ -76,6 +114,7 @@ def run_serving_bench(
     hops_per_call: int = 2,
     calls: int = 12,
     precision: str = "high",
+    mode: str = "exact",
 ) -> str:
     """Serving-layer benchmark through ``MultiStreamEnhancer.process_many``.
 
@@ -95,7 +134,7 @@ def run_serving_bench(
 
     cfg = get_config(model)
     engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
-    pool = MultiStreamEnhancer(streams, engine=engine)
+    pool = MultiStreamEnhancer(streams, engine=engine, mode=mode)
     sids = [pool.open() for _ in range(streams)]
     rng = np.random.default_rng(0)
     chunk_len = cfg.hop * hops_per_call
@@ -120,7 +159,7 @@ def run_serving_bench(
     capacity = int(streams * budget_ms / per_call) if per_call > 0 else 0
     result = {
         "metric": (f"serving_wall_ms_per_hop_{model}_s{streams}"
-                   f"_h{hops_per_call}_{precision}"),
+                   f"_h{hops_per_call}_{mode}_{precision}"),
         "value": round(per_hop, 3),
         "unit": "ms_per_hop_wall",
         "vs_baseline": round(budget_ms / per_call, 3),

@@ -391,6 +391,46 @@ class Engine:
         self._stream_cache[key] = run
         return run
 
+    def _stream_vec_fn(self, B: int, T: int):
+        """Time-vectorised streaming step: ``T`` hops per call through ONE
+        ``forward_spec`` invocation (the offline path's per-segment program,
+        wrapped with the streaming DFT front/back ends).
+
+        Same math as ``_stream_fn`` — every recurrence carries the same
+        state — but convs/GEMMs evaluate over all ``T`` frames at once and
+        the EMA norms use the associative scan, so the floating-point
+        reduction order differs between chunkings (outputs match the exact
+        path to ~1e-5, not bit-exactly).  This is the serving throughput
+        mode: a frontend batching a few hops of audio per call amortises the
+        per-frame launch overhead that bounds the exact path.
+        """
+        key = ("vec", B, T)
+        fn = self._stream_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        window = self._window
+        precision = self.precision
+
+        def run(params, frames: Array, st):
+            with jax.default_matmul_precision(precision):
+                spec = jnp.fft.rfft(frames * window, axis=-1)
+                spec = jnp.stack([spec.real, spec.imag], -1).astype(
+                    self.compute_dtype)
+                spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
+                out, st, _ = forward_spec(params, cfg, spec, st)
+                out = out.astype(jnp.float32) / jnp.asarray(
+                    cfg.wnorm, jnp.float32)
+                comp = jax.lax.complex(out[..., 0], out[..., 1])
+                y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
+                return y.astype(jnp.float32), st
+
+        shard, rep = self._batch_specs()
+        run = self._compile(run, in_specs=(rep, shard, shard),
+                            out_specs=(shard, shard), donate=(2,))
+        self._stream_cache[key] = run
+        return run
+
     def _stream_spec_fn(self, B: int, T: int):
         """Streaming step over raw spec frames ``[B, T, F, 2]`` (no STFT):
         the serving-layer entry when the caller already has spectra.  Scans
@@ -429,18 +469,31 @@ class Engine:
             st = self._place_state(st)
         return st
 
-    def process_frames(self, frames: np.ndarray, st):
+    def process_frames(self, frames: np.ndarray, st, mode: str = "exact"):
         """Process ``[B, T, win_len]`` sample frames; returns time-domain
         windowed frames ready for overlap-add, plus the new state.
 
         T is internally split into power-of-two buckets so only a handful of
         programs compile regardless of chunking pattern.
+
+        ``mode``:
+            ``"exact"`` (default) — per-frame scan; the op sequence per
+            frame is identical for every chunking, so outputs are
+            bit-invariant to how the stream is chunked.
+            ``"throughput"`` — time-vectorised program (one ``forward_spec``
+            over all buffered frames).  Same math/state; fp reduction order
+            differs across chunkings (~1e-5 vs exact).  ~2-3× cheaper per
+            hop when several hops are batched per call — the serving mode.
         """
         B, T, _ = frames.shape
         if self.mesh is not None and B % int(self.mesh.size) != 0:
             raise ValueError(
                 f"streaming batch ({B}) must be a multiple of the mesh size "
                 f"({self.mesh.size}) on a sharded engine")
+        if mode not in ("exact", "throughput"):
+            raise ValueError(f"unknown streaming mode {mode!r}")
+        make_fn = (self._stream_vec_fn if mode == "throughput"
+                   else self._stream_fn)
         outs = []
         pos = 0
         x = jnp.asarray(frames)
@@ -449,7 +502,7 @@ class Engine:
             for b in _STREAM_T_BUCKETS:
                 if pos + b <= T:
                     step = b
-            run = self._stream_fn(B, step)
+            run = make_fn(B, step)
             y, st = run(self.params, x[:, pos: pos + step], st)
             outs.append(y)
             pos += step

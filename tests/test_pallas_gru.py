@@ -131,6 +131,56 @@ def test_dprnn_inter_block_kernel(N, T, C):
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("B,T,Fq,C,K,kmax",
+                         [(2, 5, 13, 8, 3, 2),     # CH=1 walk, K split
+                          (3, 4, 16, 16, 2, 4)])   # CH=8 walk, single call
+def test_dprnn_stack_kernel(B, T, Fq, C, K, kmax):
+    """Merged stack kernel == K x (intra + inter) block compositions."""
+    rng = np.random.default_rng(6)
+    blocks = []
+    for _ in range(K):
+        p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+        blocks.append({
+            "intra": {
+                "fw": p_fw, "bw": p_bw,
+                "packed": dict(zip(
+                    ("wi2", "wh2", "b2"),
+                    pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32))),
+                "fc": {"w": jnp.asarray(
+                    rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3),
+                    "b": jnp.asarray(
+                        rng.normal(size=(C,)).astype(np.float32) * 0.1)},
+                "ln": dict(zip(("g", "b"), _lnp(rng, C))),
+            },
+            "inter": {
+                "gru": _params(rng, C, C),
+                "fc": {"w": jnp.asarray(
+                    rng.normal(size=(C, C)).astype(np.float32) * 0.3),
+                    "b": jnp.asarray(
+                        rng.normal(size=(C,)).astype(np.float32) * 0.1)},
+                "ln": dict(zip(("g", "b"), _lnp(rng, C))),
+            },
+        })
+    x = jnp.asarray(rng.normal(size=(B, T, Fq, C)).astype(np.float32))
+    hs = [jnp.asarray(rng.normal(size=(B, Fq, C)).astype(np.float32) * 0.2)
+          for _ in range(K)]
+
+    from dpdfnet_tpu.models.dpdfnet import _dprnn_block
+
+    ref, ref_hs = x, []
+    for p, h in zip(blocks, hs):
+        ref, h_new = _dprnn_block(p, ref, h)
+        ref_hs.append(h_new)
+
+    out, hl = pallas_gru.dprnn_stack(
+        jnp.swapaxes(x, 0, 1), jnp.stack(hs), pallas_gru.pack_stack(blocks),
+        precision="highest", interpret=True, k_max=kmax)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1)), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(hl), np.asarray(jnp.stack(ref_hs)), atol=2e-5)
+
+
 def test_fused_dprnn_stack_forward(monkeypatch):
     """forward_spec with the fused time-major DPRNN stack (interpret mode)
     matches the plain XLA path, outputs and carried state.

@@ -66,6 +66,44 @@ def test_pool_slot_isolation_on_reset(engine):
     np.testing.assert_allclose(yb2, rb[rb.size - yb2.size:], atol=1e-5)
 
 
+def test_throughput_mode_matches_exact(engine):
+    """The time-vectorised serving mode must match the bit-invariant
+    per-frame program to fp-reordering tolerance, state carry included."""
+    cfg = engine.cfg
+    rng = np.random.default_rng(7)
+    B, T = 3, 11
+    frames = (0.1 * rng.normal(size=(B, T, cfg.win_len))).astype(np.float32)
+
+    st_e = engine.init_stream_state(batch=B)
+    y_e, st_e = engine.process_frames(frames, st_e)                # exact
+    st_t = engine.init_stream_state(batch=B)
+    y_t, st_t = engine.process_frames(frames, st_t, mode="throughput")
+    np.testing.assert_allclose(y_t, y_e, atol=2e-5)
+
+    # carried state equivalent: a second exact call from either state agrees
+    more = (0.1 * rng.normal(size=(B, 2, cfg.win_len))).astype(np.float32)
+    y2_e, _ = engine.process_frames(more, st_e)
+    y2_t, _ = engine.process_frames(more, st_t)
+    np.testing.assert_allclose(y2_t, y2_e, atol=2e-5)
+
+    with pytest.raises(ValueError, match="mode"):
+        engine.process_frames(more, engine.init_stream_state(batch=B),
+                              mode="banana")
+
+
+def test_pool_throughput_mode(engine):
+    """A throughput-mode pool stays within fp tolerance of an exact pool."""
+    x = _sig(11)
+    outs = {}
+    for mode in ("exact", "throughput"):
+        pool = MultiStreamEnhancer(capacity=2, engine=engine, mode=mode)
+        sid = pool.open()
+        outs[mode] = np.concatenate(
+            [pool.process(sid, x), pool.flush(sid)])
+    assert outs["exact"].shape == outs["throughput"].shape
+    np.testing.assert_allclose(outs["throughput"], outs["exact"], atol=2e-5)
+
+
 def test_pool_capacity_exhaustion(engine):
     pool = MultiStreamEnhancer(capacity=2, engine=engine)
     pool.open(), pool.open()
