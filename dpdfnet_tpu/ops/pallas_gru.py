@@ -31,6 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -917,10 +918,11 @@ def pack_stack(blocks: list) -> dict:
 def _stack_k() -> int:
     """Blocks per merged-stack kernel call (DPDFNET_TPU_STACK_K).
 
-    Bounds the kernel's VMEM footprint: the inter hidden carries cost
-    K*tile*Fq*C floats of scratch plus the same again for the h0/h_last
-    pipeline buffers."""
-    return int(os.environ.get("DPDFNET_TPU_STACK_K", "4"))
+    Bounds the kernel's VMEM footprint: the h0/h_last windows and the
+    carry scratch each cost K*tile*Fq*128 lanes of f32 (C=64 pads to the
+    128-lane tile), so K=4 at tile 256 already exceeds the chip's 128M
+    scoped vmem (measured 130.7M); K=2 at tile 256 fits."""
+    return int(os.environ.get("DPDFNET_TPU_STACK_K", "2"))
 
 
 def _stack_tile() -> int:
@@ -929,9 +931,18 @@ def _stack_tile() -> int:
 
 
 def stack_enabled() -> bool:
-    """Use the merged DPRNN-stack kernel? (DPDFNET_TPU_STACK=0/1)."""
+    """Use the merged DPRNN-stack kernel? (DPDFNET_TPU_STACK=0/1).
+
+    Default OFF: measured SLOWER than the separate fused kernels on v5e
+    (dpdfnet8_48khz_hr b256 'default': 1629 xRT at K=2/tile=256, 1668 at
+    K=1, vs 1876 for the per-stage kernels).  The separate inter kernel
+    amortises its pipeline bookkeeping over TS=8 time steps per cell; the
+    merged kernel must advance every block's inter recurrence at every t,
+    so it pays that bookkeeping (and the h-carry VMEM pressure) per step.
+    The removed inter-stage HBM round-trip doesn't come close to paying
+    for it.  Kept env-gated for smaller-footprint configs/experiments."""
     return os.environ.get(
-        "DPDFNET_TPU_STACK", "1") not in ("0", "false", "False")
+        "DPDFNET_TPU_STACK", "0") not in ("0", "false", "False")
 
 
 @functools.partial(
@@ -988,6 +999,18 @@ def dprnn_stack(
 
     kern = functools.partial(
         _stack_kernel, K, Fq, C, _PRECISIONS[precision], 1e-5)
+    # Scoped-vmem: the h0/h_last pipeline blocks and the carry scratch are
+    # K-proportional, so size the limit from the buffer sum (x/out double-
+    # buffered; h0/hl conservatively double-buffered too) plus Mosaic
+    # slack, never below the global knob.  Measured actuals: K=4/tile=256
+    # wants 130.7M (OOM over the 128M ceiling); K=1/tile=256 wants 51.07M
+    # where the buffer sum x1.5 gave 50.13M — hence the 1.7 multiplier.
+    plane = tile * Fq * max(C, 128) * 4   # C < 128 pads to the lane tile
+    est = (4 * plane                      # x in + out, 2 bufs each
+           + 3 * K * plane                # h0 + hl (single-buf) + h scratch
+           + 3 * plane + tile * 2 * C * 4  # cur + ys_fw/bw + x2 staging
+           + sum(int(np.prod(w.shape)) * 4 for w in stacked.values()))
+    vmem = max(_kernel_vmem(), min(int(est * 1.7), 126 * 1024 * 1024))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     carry_spec = pl.BlockSpec((K, tile, Fq, C), lambda i, t: (0, i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1020,7 +1043,7 @@ def dprnn_stack(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_kernel_vmem(),
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(h0, x_tm,
