@@ -482,8 +482,13 @@ class Engine:
             bit-invariant to how the stream is chunked.
             ``"throughput"`` — time-vectorised program (one ``forward_spec``
             over all buffered frames).  Same math/state; fp reduction order
-            differs across chunkings (~1e-5 vs exact).  ~2-3× cheaper per
-            hop when several hops are batched per call — the serving mode.
+            differs across chunkings (~1e-5 vs exact).  Measured on one
+            v5e (dpdfnet8_48khz_hr, 'default', 4-8 hops/call): ~7% cheaper
+            per hop than exact at 128 streams, ~27% at 256 — and it keeps
+            scaling where the exact path plateaus, so peak capacity moves
+            from ~1220 streams/chip (exact) to ~1639 at 256 streams /
+            40 ms buffering, ~1734 at 512 / 80 ms.  The serving mode for
+            frontends that batch hops per call.
         """
         B, T, _ = frames.shape
         if self.mesh is not None and B % int(self.mesh.size) != 0:

@@ -47,8 +47,10 @@ class MultiStreamEnhancer:
         mode: str = "exact",
     ) -> None:
         """``mode``: ``"exact"`` (bit-invariant per-frame program) or
-        ``"throughput"`` (time-vectorised; ~2-3× cheaper per hop when
-        callers batch several hops per ``process_many`` call — see
+        ``"throughput"`` (time-vectorised; cheaper per hop when callers
+        batch several hops per ``process_many`` call — measured ~7% at
+        128 streams to ~27%+ at 256-512, where it lifts peak capacity
+        from ~1220 to ~1734 streams/chip — see
         ``runtime.engine.Engine.process_frames``)."""
         if engine is None:
             from .api import _get_engine
