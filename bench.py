@@ -27,9 +27,24 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    precision = os.environ.get("BENCH_PRECISION", "default")
+    # BENCH_PRECISION takes a quality-tier name (highest/high/fast/turbo,
+    # see runtime.engine.QUALITY_TIERS) or a raw matmul precision.  The
+    # headline is the 'turbo' throughput tier (bf16 activations, bf16 MXU
+    # dots): measured waveform deviation on contractive trained-like
+    # weights is ~2e-4 peak / -61 dB — the same envelope as the
+    # f32-activation 'fast' tier (see docs/performance.md); the API
+    # default for enhance() remains the f32-grade 'high' tier.
+    tier = os.environ.get("BENCH_PRECISION", "turbo")
+    from dpdfnet_tpu.runtime.engine import QUALITY_TIERS  # noqa: E402
+
+    if tier in QUALITY_TIERS:
+        precision, dtype = QUALITY_TIERS[tier]
+        compute = "bfloat16" if dtype == "bf16" else None
+    else:
+        precision, compute = tier, None
     print(run_bench(model=model, batch=batch, seconds=seconds, reps=reps,
-                    random_weights=True, precision=precision))
+                    random_weights=True, precision=precision,
+                    compute_dtype=compute, label=tier))
     return 0
 
 

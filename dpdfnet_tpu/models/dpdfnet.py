@@ -188,6 +188,13 @@ def _dprnn_fused(
     use_v2 = pallas_gru.v2_enabled(prec)
     B, T, Fq, C = x.shape
     xt = jnp.swapaxes(x, 0, 1)                                # [T, B, Fq, C]
+    # Optional bf16 plane streaming between the kernels (in-kernel math
+    # stays f32; see pallas_gru.plane_io_bf16).  The casts fuse into the
+    # transpose copies in/out of the time-major stack.
+    io_bf16 = (not use_v2 and x.dtype == jnp.float32
+               and Fq % 8 == 0 and pallas_gru.plane_io_bf16(prec))
+    if io_bf16:
+        xt = xt.astype(jnp.bfloat16)
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         intra, inter = p["intra"], p["inter"]
@@ -227,8 +234,10 @@ def _dprnn_fused(
                 precision=prec, interpret=interp,
             )
         xt = out.reshape(T, B, Fq, C)
-        new_hs.append(h_new.reshape(B, Fq, C))
-    return jnp.swapaxes(xt, 0, 1), new_hs
+        # keep the carried hidden at the model's state dtype (the inter
+        # kernel returns its f32 compute dtype under bf16 plane IO)
+        new_hs.append(h_new.reshape(B, Fq, C).astype(x.dtype))
+    return jnp.swapaxes(xt, 0, 1).astype(x.dtype), new_hs
 
 
 # --------------------------------------------------------------------------- #

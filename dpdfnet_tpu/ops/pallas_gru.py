@@ -145,6 +145,33 @@ def v2_enabled(precision: str) -> bool:
     return False
 
 
+def plane_io_bf16(precision: str) -> bool:
+    """Stream the DPRNN activation planes between kernels as bf16
+    (DPDFNET_TPU_PLANE_IO=bf16; read at trace time).
+
+    Only the HBM-facing x/out planes compress — every in-kernel value
+    (h carries, gates, fc, LayerNorm) stays f32; loads upcast and stores
+    downcast.  Restricted to the 'default' tier: its MXU dots already
+    round operands to bf16, so the storage rounding adds error of the
+    same order the tier carries anyway; 'high'/'highest' keep f32-grade
+    planes by definition.
+
+    MEASURED SLOWER on v5e as a DPRNN-only option (b256 flagship
+    'default': 1803 vs 1878 xRT).  Per-kernel profile: the intra kernel
+    pays +16% for the (2,1)-packed bf16 dynamic loads in its chunked
+    walk, and the inter kernel is compute-bound at b256/TS=8 (161 ms
+    either way — the round-1 "DMA-bound ~2x compute" note was a b32
+    profile).  Kept env-gated for small-batch/streaming experiments.
+    The same kernel capability is what makes the full-bf16 'turbo' tier
+    win end-to-end (1481 -> 2062 xRT): there the convs' and transposes'
+    halved HBM traffic pays, and the kernels no longer upcast the plane
+    in a separate XLA pass per block.
+    """
+    if precision != "default":
+        return False
+    return os.environ.get("DPDFNET_TPU_PLANE_IO", "") in ("bf16", "1")
+
+
 def _pick_tile(N: int, cap: int) -> int:
     """Row tile <= cap minimising padding: split N into ceil(N/cap)
     near-equal chunks rounded up to a sublane multiple (8).
@@ -345,12 +372,16 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
     """
     tile = x_ref.shape[0]
     C2 = 2 * C
+    # Compute dtype comes from the scratches (f32 when the wrapper streams
+    # bf16 planes): bf16 touches only the x loads and out stores, so the
+    # bf16 vector-op pitfalls of this Mosaic version (offset-layout
+    # concats, lane-slice staging) never see a bf16 value.
+    cdt = scrf.dtype
     # Sequence chunk: all dynamic x/out accesses on the (tiled) middle dim
     # happen at provably 8-aligned bases so bf16's (2,1) sublane packing is
     # legal; offsets within a chunk are static.  CH=1 falls back to the
-    # per-step form.  (Moot for bf16 either way: the wrapper upcasts bf16
-    # inputs unconditionally outside interpret mode — this Mosaic version
-    # miscompiles other bf16 vector ops; see dprnn_intra_block.)
+    # per-step form (f32 planes only — the wrapper upcasts bf16 inputs
+    # when T % 8 != 0).
     CH = 8 if T % 8 == 0 else 1
 
     # Recurrence via fori_loop over chunks (compact code, reused stack
@@ -361,8 +392,8 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
     def chunk(ci, h):
         base = pl.multiple_of(ci * CH, CH)
         rbase = pl.multiple_of(T - CH - ci * CH, CH)
-        xf_c = x_ref[:, pl.ds(base, CH), :]                   # [tile, CH, C]
-        xb_c = x_ref[:, pl.ds(rbase, CH), :]
+        xf_c = x_ref[:, pl.ds(base, CH), :].astype(cdt)       # [tile, CH, C]
+        xb_c = x_ref[:, pl.ds(rbase, CH), :].astype(cdt)
         if hoist:
             # v3: stage the whole chunk's x2 rows, then ONE [CH*tile, 2C]
             # x-projection GEMM off the recurrence's critical path (8x the
@@ -391,7 +422,7 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
             r = _sigmoid(xp[:, :C2] + hh[:, :C2])
             z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
             n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
-            h = ((1.0 - z) * n + z * h).astype(x_ref.dtype)
+            h = ((1.0 - z) * n + z * h).astype(cdt)
             # leading-dim dynamic stores are legal for any dtype.  Slice
             # the 2-D carry BEFORE expanding dims: a lane slice of a 3-D
             # value lowers as an (unsupported) gather inside the loop.
@@ -401,14 +432,14 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
             scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
         return h
 
-    jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), x_ref.dtype))
+    jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
 
     # Epilogue per chunk of (static) time steps so live temporaries stay
     # ~[tile, CH, C] (a single whole-buffer fc was measured to blow the
     # scoped-vmem stack): fc over the concat [ys_fw | ys_bw] as two
     # half-dots, LayerNorm, residual with the x block still resident.
     for c0 in range(0, T, CH):
-        x_c = x_ref[:, pl.ds(c0, CH), :]                      # [tile, CH, C]
+        x_c = x_ref[:, pl.ds(c0, CH), :].astype(cdt)          # [tile, CH, C]
         for k in range(CH):
             y = _kdot(
                 scrf[c0 + k], wfc_ref[:C], precision) + _kdot(
@@ -416,8 +447,8 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
             mu = jnp.mean(y, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
             yn = (y - mu) * jax.lax.rsqrt(var + eps)
-            yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(x_ref.dtype)
-            out_ref[:, c0 + k, :] = x_c[:, k, :] + yn
+            yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+            out_ref[:, c0 + k, :] = (x_c[:, k, :] + yn).astype(out_ref.dtype)
 
 
 def _intra_tile() -> int:
@@ -473,19 +504,21 @@ def dprnn_intra_block(
     + residual as used by ``models.dpdfnet._dprnn_block``.
     """
     N, T, C = x.shape
-    if x.dtype == jnp.bfloat16 and not interpret:
-        # Run the intra stage in f32 even under bf16 compute: the kernel is
-        # MXU-bound (dots round to bf16 on the MXU regardless), so bf16
-        # streams would not speed it up — and this Mosaic version
-        # miscompiles/rejects several bf16 vector ops the kernel needs
-        # (dynamic packed-sublane loads; offset-layout concats; lane-slice
-        # staging hits "unsupported shape cast").  The bandwidth-bound
-        # inter kernel, where bf16 actually pays, runs natively in bf16.
+    if x.dtype == jnp.bfloat16 and not interpret and T % 8 != 0:
+        # bf16 planes need the 8-aligned chunked walk (the (2,1) sublane
+        # packing makes unaligned dynamic slices illegal); T % 8 != 0
+        # falls back to f32 planes.  All shipped configs have Fq % 8 == 0.
         return dprnn_intra_block(
             x.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
             precision=precision, interpret=interpret,
             tile=tile, hoist=hoist).astype(x.dtype)
+    # bf16 input streams the x/out planes compressed (half the kernel's
+    # HBM traffic) while ALL in-kernel values stay f32: loads upcast,
+    # stores downcast (see plane_io_bf16).  The earlier all-bf16 in-kernel
+    # attempt hit Mosaic miscompiles (offset-layout concats, lane-slice
+    # staging "unsupported shape cast") — those ops never see bf16 here.
     dtype = x.dtype
+    cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
     # NB: None means "read the env knob at trace time" — pass explicit
     # values to make the choice part of the jit cache key (an env change
@@ -520,11 +553,11 @@ def dprnn_intra_block(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, T, C), dtype),
         scratch_shapes=[
-            pltpu.VMEM((T, tile, C), dtype),                      # ys_fw
-            pltpu.VMEM((T, tile, C), dtype),                      # ys_bw
+            pltpu.VMEM((T, tile, C), cdt),                        # ys_fw
+            pltpu.VMEM((T, tile, C), cdt),                        # ys_bw
             # x2 staging: whole chunk when hoisting, one step otherwise
             pltpu.VMEM(((CH if hoist and CH > 1 else 1) * tile, 2 * C),
-                       dtype),
+                       cdt),
             # hoisted x-projection chunk (f32 accumulators); minimal when
             # unused
             pltpu.VMEM(((CH * tile, 6 * C) if hoist and CH > 1 else (8, 128)),
@@ -535,9 +568,9 @@ def dprnn_intra_block(
             vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
-    )(x, wi2.astype(dtype), wh2.astype(dtype), b2.astype(dtype),
-      wfc.astype(dtype), bfc.reshape(1, -1).astype(dtype),
-      g.reshape(1, -1).astype(dtype), bln.reshape(1, -1).astype(dtype))
+    )(x, wi2.astype(cdt), wh2.astype(cdt), b2.astype(cdt),
+      wfc.astype(cdt), bfc.reshape(1, -1).astype(cdt),
+      g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 
     return out[:N] if n_pad else out
 
@@ -561,7 +594,9 @@ def _inter_block_kernel(TS: int, H: int, precision, eps: float,
 
     h = h_scr[:]
     for s in range(TS):
-        x = x_ref[s]
+        # loads upcast / stores downcast when the wrapper streams bf16
+        # planes (plane_io_bf16); every in-kernel value is h_scr.dtype.
+        x = x_ref[s].astype(h_scr.dtype)
         xp = _kdot(
             x, wi_ref[:], precision) + b_ref[0:1, :]
         hh = _kdot(
@@ -577,7 +612,7 @@ def _inter_block_kernel(TS: int, H: int, precision, eps: float,
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
         yn = (y - mu) * jax.lax.rsqrt(var + eps)
         yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-        out_ref[s] = x + yn.astype(x.dtype)
+        out_ref[s] = (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype)
     h_scr[:] = h
     hl_ref[0] = h
 
@@ -609,6 +644,9 @@ def dprnn_inter_block(
     """
     T, N, C = x_tm.shape
     dtype = x_tm.dtype
+    # bf16 planes stream compressed; all in-kernel math runs f32 (the h
+    # carry, gates, fc and LN never see bf16 — see plane_io_bf16).
+    cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
     tile = _pick_tile(N, _TILE_N)
     n_pad = (-N) % tile
@@ -624,7 +662,7 @@ def dprnn_inter_block(
     while TS * 2 <= want and T % (TS * 2) == 0:
         TS *= 2
 
-    b2 = jnp.stack([bi, bh]).astype(dtype)
+    b2 = jnp.stack([bi, bh]).astype(cdt)
     tmap = lambda i, t: (t, i, 0)
     kern = functools.partial(
         _inter_block_kernel, TS, C, _PRECISIONS[precision], 1e-5)
@@ -652,19 +690,19 @@ def dprnn_inter_block(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, Np, C), dtype),
-            jax.ShapeDtypeStruct((1, Np, C), dtype),
+            jax.ShapeDtypeStruct((1, Np, C), cdt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile, C), dtype),                         # h carry
+            pltpu.VMEM((tile, C), cdt),                           # h carry
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_kernel_vmem(),
         ),
         interpret=interpret,
-    )(h0[None], x_tm, wi.astype(dtype), wh.astype(dtype), b2,
-      wfc.astype(dtype), bfc.reshape(1, -1).astype(dtype),
-      g.reshape(1, -1).astype(dtype), bln.reshape(1, -1).astype(dtype))
+    )(h0[None].astype(cdt), x_tm, wi.astype(cdt), wh.astype(cdt), b2,
+      wfc.astype(cdt), bfc.reshape(1, -1).astype(cdt),
+      g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 
     h_last = h_last[0]
     if n_pad:

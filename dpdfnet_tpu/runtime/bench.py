@@ -215,6 +215,7 @@ def run_bench(
     precision: str = "high",
     baseline_xrt: float = 500.0,
     compute_dtype=None,
+    label: str | None = None,
 ) -> str:
     """Returns one JSON line: {"metric", "value", "unit", "vs_baseline"}."""
     import jax
@@ -258,7 +259,8 @@ def run_bench(
     wall = float(np.median(times))
     xrt = batch * seconds / wall
     result = {
-        "metric": f"xRT_per_chip_{model}_offline_b{batch}_{precision}",
+        "metric": (f"xRT_per_chip_{model}_offline_b{batch}"
+                   f"_{label or precision}"),
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / baseline_xrt, 4),

@@ -407,3 +407,86 @@ def test_high_tier_bf16_3x_accuracy():
     # bounds the decomposition's own error (plain-'default' interprets as
     # exact f32 on CPU, so no ordering comparison is possible here)
     assert 0 < err_high < 2e-4, err_high
+
+
+def test_dprnn_intra_block_bf16_planes():
+    """bf16 plane IO == the upcast-outside path with one output rounding:
+    in-kernel math runs f32 either way (plane_io_bf16 contract)."""
+    rng = np.random.default_rng(11)
+    N, T, C = 16, 16, 8                      # T % 8 == 0: the aligned walk
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    ref = pallas_gru.dprnn_intra_block(
+        xb.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True)
+    got = pallas_gru.dprnn_intra_block(
+        xb, wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(ref.astype(jnp.bfloat16)))
+
+
+def test_dprnn_inter_block_bf16_planes():
+    """bf16 plane IO: out == f32 out rounded once; h_last stays exact f32."""
+    rng = np.random.default_rng(12)
+    N, T, C = 16, 6, 8
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    out_ref, hl_ref = pallas_gru.dprnn_inter_block(
+        xb.astype(jnp.float32), h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, precision="highest", interpret=True)
+    out, hl = pallas_gru.dprnn_inter_block(
+        xb, h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, precision="highest", interpret=True)
+    assert out.dtype == jnp.bfloat16 and hl.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(out_ref.astype(jnp.bfloat16)))
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref), atol=1e-6)
+
+
+def test_fused_dprnn_stack_forward_bf16_planes(monkeypatch):
+    """forward_spec with DPDFNET_TPU_PLANE_IO=bf16 (interpret mode) stays
+    within the bf16-storage error envelope of the f32-plane fused path and
+    keeps the state dtype stable (f32)."""
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+    from dpdfnet_tpu.models.fuse import fuse_separable, pack_dprnn_bidir
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.models.state import init_state
+
+    rng = np.random.default_rng(13)
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=3)
+    fused = pack_dprnn_bidir(fuse_separable(params, cfg), cfg)
+    spec = jnp.asarray(
+        rng.normal(size=(2, 6, cfg.freq_bins, 2)).astype(np.float32))
+    st = init_state(cfg, batch=2)
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS", "1")
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    with jax.default_matmul_precision("default"):
+        out_ref, st_ref, _ = forward_spec(fused, cfg, spec, st)
+        monkeypatch.setenv("DPDFNET_TPU_PLANE_IO", "bf16")
+        out_b, st_b, _ = forward_spec(fused, cfg, spec, st)
+
+    scale = float(jnp.max(jnp.abs(out_ref))) + 1e-9
+    dev = float(jnp.max(jnp.abs(out_b - out_ref))) / scale
+    assert dev < 5e-2, dev
+    for a, b in zip(jax.tree_util.tree_leaves(st_b),
+                    jax.tree_util.tree_leaves(st_ref)):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0.05)
