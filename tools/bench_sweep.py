@@ -27,7 +27,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="dpdfnet8_48khz_hr")
     ap.add_argument("--points", nargs="+", default=["b32:s128"])
-    ap.add_argument("--precision", default="default")
+    ap.add_argument("--precision", default="default",
+                    help="matmul precision, or a quality-tier name "
+                         "(highest/high/fast/turbo)")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
@@ -37,7 +39,15 @@ def main() -> int:
 
     from dpdfnet_tpu.config import get_config
     from dpdfnet_tpu.models.params import init_params
-    from dpdfnet_tpu.runtime.engine import Engine
+    from dpdfnet_tpu.runtime.engine import QUALITY_TIERS, Engine
+
+    ekw = {}
+    if args.precision in QUALITY_TIERS:
+        prec, dt = QUALITY_TIERS[args.precision]
+        if dt == "bf16":
+            ekw["compute_dtype"] = jnp.bfloat16
+    else:
+        prec = args.precision
 
     cfg = get_config(args.model)
     params = init_params(cfg, seed=0)
@@ -53,7 +63,7 @@ def main() -> int:
             elif tok.startswith("s"):
                 seg = int(tok[1:])
         assert B and seg, point
-        eng = Engine(cfg, params, precision=args.precision, seg_frames=seg)
+        eng = Engine(cfg, params, precision=prec, seg_frames=seg, **ekw)
         wav = jax.device_put(jnp.asarray(
             rng.normal(size=(B, S)).astype(np.float32) * 0.05))
         alpha = jnp.asarray(np.float32(0.0))
