@@ -21,10 +21,11 @@ from dpdfnet_tpu.runtime.bench import run_bench  # noqa: E402
 
 def main() -> int:
     model = os.environ.get("BENCH_MODEL", "dpdfnet8_48khz_hr")
-    # b256 x 10 s is the measured throughput sweet spot on one v5e
-    # (1530 xRT vs 1325 b128 / 1211 b320 (HBM pressure); reproducible
-    # to +-0.1%).  Larger segments (256 frames) OOM HBM at this batch.
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # b384 x 10 s is the measured turbo-tier throughput sweet spot on one
+    # v5e (2156 xRT at seg 112 / intra tile 512, vs 2062 b256, 1809 b320,
+    # 2087 b512, 1634 b448; reproducible to +-0.1%).  The f32-activation
+    # tiers peak at b256 (1876; b320 drops to 1211 = HBM pressure).
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     # BENCH_PRECISION takes a quality-tier name (highest/high/fast/turbo,

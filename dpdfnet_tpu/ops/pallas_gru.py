@@ -451,9 +451,17 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
             out_ref[:, c0 + k, :] = (x_c[:, k, :] + yn).astype(out_ref.dtype)
 
 
-def _intra_tile() -> int:
-    """Row tile of the intra kernel (override: DPDFNET_TPU_INTRA_TILE)."""
-    return int(os.environ.get("DPDFNET_TPU_INTRA_TILE", str(_INTRA_TILE)))
+def _intra_tile(default: int | None = None) -> int:
+    """Row tile of the intra kernel (override: DPDFNET_TPU_INTRA_TILE).
+
+    The built-in default is dtype-dependent (see dprnn_intra_block):
+    256 for f32 planes, 512 for bf16 planes — bf16 halves the pipeline's
+    x/out block buffers, and the larger tile then wins (b384 turbo:
+    2156 vs 2107 xRT; 768 regresses to 2076, 1024 exceeds 100M scoped
+    vmem)."""
+    return int(os.environ.get(
+        "DPDFNET_TPU_INTRA_TILE", str(_INTRA_TILE if default is None
+                                      else default)))
 
 
 def _intra_hoist() -> bool:
@@ -523,7 +531,9 @@ def dprnn_intra_block(
     # NB: None means "read the env knob at trace time" — pass explicit
     # values to make the choice part of the jit cache key (an env change
     # after a shape is traced is otherwise ignored for that shape).
-    tile = _pick_tile(N, _intra_tile() if tile is None else tile)
+    if tile is None:
+        tile = _intra_tile(512 if dtype == jnp.bfloat16 else None)
+    tile = _pick_tile(N, tile)
     n_pad = (-N) % tile
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
@@ -534,6 +544,21 @@ def dprnn_intra_block(
     kern = functools.partial(
         _intra_block_kernel, T, C, hoist and CH > 1,
         _PRECISIONS[precision], 1e-5)
+    # Scoped-vmem self-sizing: the x/out pipeline blocks and the ys
+    # scratches scale with the tile, so large tiles (or f32 planes at
+    # tile 512) exceed the 48M global default; size from the buffer sum
+    # + 35% Mosaic slack, never below the global knob.  (Measured: bf16
+    # tile 512 wants 48.26M under a 64M cap but 57.25M under a 55.77M
+    # cap — Mosaic's stack sizing grows with the headroom it is given,
+    # so a thin margin chases itself; 1.35x lands in the measured-good
+    # 64M region.  f32 tile 512 -> 72M; f32 tile 256 fits 48M.)
+    lanes = max(C, 128)                  # C < 128 pads to the lane tile
+    isz = 2 if dtype == jnp.bfloat16 else 4
+    est = (4 * tile * T * lanes * isz            # x + out, 2 bufs each
+           + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
+           + (CH if hoist and CH > 1 else 1) * tile * 2 * lanes * 4
+           + (CH * tile * 6 * lanes * 4 if hoist and CH > 1 else 0))
+    vmem = max(_kernel_vmem(), min(int(est * 1.35), 126 * 1024 * 1024))
 
     out = pl.pallas_call(
         kern,
@@ -565,7 +590,7 @@ def dprnn_intra_block(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_kernel_vmem(),
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(x, wi2.astype(cdt), wh2.astype(cdt), b2.astype(cdt),
