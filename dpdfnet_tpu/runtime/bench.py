@@ -42,10 +42,15 @@ def run_stream_bench(
 
     from ..config import get_config
     from ..models.params import init_params
-    from ..runtime.engine import Engine
+    from ..runtime.engine import (Engine, QUALITY_TIERS,
+                                  engine_from_quality)
 
     cfg = get_config(model)
-    engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
+    if precision in QUALITY_TIERS:
+        engine = engine_from_quality(
+            cfg, init_params(cfg, seed=0), quality=precision)
+    else:
+        engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
     st = engine.init_stream_state(batch=streams)
     rng = np.random.default_rng(0)
     hop_s = cfg.hop / cfg.sample_rate
@@ -82,7 +87,9 @@ def run_stream_bench(
 
         def cadence(params, frames_all, st):
             # frames_all: [n_calls, B, T, win] — one scan step per call.
-            with jax.default_matmul_precision(precision):
+            # (engine.precision is the resolved matmul precision even when
+            # the bench was invoked with a quality-tier name.)
+            with jax.default_matmul_precision(engine.precision):
                 def body(carry, fr):
                     spec = jnp.fft.rfft(fr * window, axis=-1)
                     spec = jnp.stack([spec.real, spec.imag], -1).astype(cdt)
@@ -165,11 +172,16 @@ def run_serving_bench(
 
     from ..config import get_config
     from ..models.params import init_params
-    from ..runtime.engine import Engine
+    from ..runtime.engine import (Engine, QUALITY_TIERS,
+                                  engine_from_quality)
     from ..serving import MultiStreamEnhancer
 
     cfg = get_config(model)
-    engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
+    if precision in QUALITY_TIERS:
+        engine = engine_from_quality(
+            cfg, init_params(cfg, seed=0), quality=precision)
+    else:
+        engine = Engine(cfg, init_params(cfg, seed=0), precision=precision)
     pool = MultiStreamEnhancer(streams, engine=engine, mode=mode)
     sids = [pool.open() for _ in range(streams)]
     rng = np.random.default_rng(0)
@@ -222,7 +234,8 @@ def run_bench(
     import jax.numpy as jnp
 
     from ..config import get_config
-    from ..runtime.engine import Engine
+    from ..runtime.engine import (Engine, QUALITY_TIERS,
+                                  engine_from_quality)
 
     cfg = get_config(model)
     if random_weights:
