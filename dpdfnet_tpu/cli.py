@@ -140,8 +140,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--seconds", type=float, default=10.0)
     p_bench.add_argument("--reps", type=int, default=5)
     p_bench.add_argument("--precision", default="default",
-                         choices=["default", "high", "highest"],
-                         help="Matmul precision tier to bench.")
+                         choices=["default", "high", "highest",
+                                  "fast", "turbo"],
+                         help="Matmul precision or quality-tier name "
+                              "(fast/turbo map through QUALITY_TIERS).")
     p_bench.add_argument("--random-weights", action="store_true",
                          help="Use random weights (no download needed).")
     p_bench.add_argument("--streaming", action="store_true",

@@ -118,6 +118,25 @@ def _inter_ts() -> int:
     return int(os.environ.get("DPDFNET_TPU_INTER_TS", "8"))
 
 
+def _inter_hoist() -> bool:
+    """In-kernel TS-block x-projection hoist in the inter kernel
+    (DPDFNET_TPU_INTER_HOIST=1, read at trace time).
+
+    The inter GRU's per-step dots contract over K=C=64 — half the MXU's
+    128 sublanes idle.  Hoisting xp for the whole TS block into one
+    [TS*tile, C] GEMM keeps only the hh dot in the sequential walk.
+    Unlike the rejected v2 variant (xp via HBM) this stays in VMEM; the
+    cost is a TS*tile*3C f32 scratch.
+
+    MEASURED SLOWER on v5e (b384 turbo: 2100 vs 2140 xRT) — the pipeline
+    already overlaps the per-step xp dot with the gate VPU work, so the
+    hoist only adds scratch traffic.  Same conclusion as every other
+    hoist variant (intra v3, v2); kept for hardware with a different
+    MXU:VPU balance."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTER_HOIST", "0") not in ("0", "false", "False")
+
+
 def enabled() -> bool:
     """Use the Pallas kernel? Overridable via DPDFNET_TPU_PALLAS=0/1."""
     env = os.environ.get("DPDFNET_TPU_PALLAS")
@@ -600,30 +619,43 @@ def dprnn_intra_block(
     return out[:N] if n_pad else out
 
 
-def _inter_block_kernel(TS: int, H: int, precision, eps: float,
+def _inter_block_kernel(TS: int, H: int, hoist: bool, precision, eps: float,
                         h0_ref, x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
-                        out_ref, hl_ref, h_scr):
+                        out_ref, hl_ref, h_scr, xp_scr):
     """``TS`` DPRNN inter steps per grid cell with the epilogue fused:
     ``out[t] = x[t] + LN(FC(h_t))``.  Unlike the intra stage the GRU is
     unidirectional, so the epilogue applies as soon as ``h_t`` exists and
     the hidden sequence never touches HBM.  TS > 1 amortises the
     pipeline's per-cell bookkeeping over several recurrence steps (the
     inter rows are B*Fq ~ 1-3k, so even TS=8 blocks stay far below the
-    scoped-vmem budget)."""
+    scoped-vmem budget).
+
+    ``hoist``: compute the input projection for the whole TS block as ONE
+    [TS*tile, H] GEMM into scratch before the walk, so the sequential
+    loop runs only the K=H hh dot per step.  Unlike the rejected v2
+    variant this never round-trips xp through HBM, and unlike the intra
+    v3 hoist there is no staging: the x block is already contiguous."""
     t = pl.program_id(1)
+    tile = h_scr.shape[0]
 
     @pl.when(t == 0)
     def _():
         h_scr[:] = h0_ref[0]
 
     h = h_scr[:]
+    if hoist:
+        xall = x_ref[:].reshape(TS * tile, H).astype(h_scr.dtype)
+        xp_scr[:] = _kdot(xall, wi_ref[:], precision) + b_ref[0:1, :]
     for s in range(TS):
         # loads upcast / stores downcast when the wrapper streams bf16
         # planes (plane_io_bf16); every in-kernel value is h_scr.dtype.
         x = x_ref[s].astype(h_scr.dtype)
-        xp = _kdot(
-            x, wi_ref[:], precision) + b_ref[0:1, :]
+        if hoist:
+            xp = xp_scr[s * tile:(s + 1) * tile]
+        else:
+            xp = _kdot(
+                x, wi_ref[:], precision) + b_ref[0:1, :]
         hh = _kdot(
             h, wh_ref[:], precision) + b_ref[1:2, :]
         r = _sigmoid(xp[:, :H] + hh[:, :H])
@@ -689,8 +721,19 @@ def dprnn_inter_block(
 
     b2 = jnp.stack([bi, bh]).astype(cdt)
     tmap = lambda i, t: (t, i, 0)
+    hoist = _inter_hoist() and TS > 1
     kern = functools.partial(
-        _inter_block_kernel, TS, C, _PRECISIONS[precision], 1e-5)
+        _inter_block_kernel, TS, C, hoist, _PRECISIONS[precision], 1e-5)
+    # Scoped-vmem self-sizing (cf. dprnn_intra_block): the x/out pipeline
+    # blocks scale with TS*tile and the hoisted xp scratch adds
+    # TS*tile*3C f32.
+    lanes = max(C, 128)
+    isz = 2 if dtype == jnp.bfloat16 else 4
+    xp_lanes = -(-3 * C // 128) * 128
+    est = (4 * TS * tile * lanes * isz           # x + out, 2 bufs each
+           + 3 * tile * lanes * 4                # h0 + h_last + h carry
+           + (TS * tile * xp_lanes * 4 if hoist else 0))
+    vmem = max(_kernel_vmem(), min(int(est * 1.35), 126 * 1024 * 1024))
 
     out, h_last = pl.pallas_call(
         kern,
@@ -719,10 +762,12 @@ def dprnn_inter_block(
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, C), cdt),                           # h carry
+            # hoisted xp block (minimal when unused)
+            pltpu.VMEM((TS * tile, 3 * C) if hoist else (8, 128), cdt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_kernel_vmem(),
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(h0[None].astype(cdt), x_tm, wi.astype(cdt), wh.astype(cdt), b2,

@@ -247,6 +247,12 @@ def run_bench(
 
         params = _get_engine(model).params
 
+    if precision in QUALITY_TIERS:
+        # quality-tier name: resolve to (matmul precision, compute dtype)
+        label = label or precision
+        precision, dt = QUALITY_TIERS[precision]
+        if compute_dtype is None and dt == "bf16":
+            compute_dtype = "bfloat16"
     kwargs = {}
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
