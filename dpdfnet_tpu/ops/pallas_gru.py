@@ -705,7 +705,8 @@ def dprnn_inter_block(
     # carry, gates, fc and LN never see bf16 — see plane_io_bf16).
     cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
-    tile = _pick_tile(N, _TILE_N)
+    tile = _pick_tile(N, int(os.environ.get(
+        "DPDFNET_TPU_INTER_TILE", str(_TILE_N))))
     n_pad = (-N) % tile
     if n_pad:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
