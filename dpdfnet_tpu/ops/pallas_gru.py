@@ -25,6 +25,7 @@ independent streams (batch x whatever axis the model scans over).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Tuple
@@ -137,8 +138,27 @@ def _inter_hoist() -> bool:
         "DPDFNET_TPU_INTER_HOIST", "0") not in ("0", "false", "False")
 
 
+_FORCE_DISABLED = 0
+
+
+@contextlib.contextmanager
+def force_disabled():
+    """Trace-time context that routes model dispatch off the Pallas
+    kernels regardless of backend/env — the kernels are inference-only
+    (no VJP), so differentiating code (train steps) wraps its trace in
+    this to take the XLA scan path."""
+    global _FORCE_DISABLED
+    _FORCE_DISABLED += 1
+    try:
+        yield
+    finally:
+        _FORCE_DISABLED -= 1
+
+
 def enabled() -> bool:
     """Use the Pallas kernel? Overridable via DPDFNET_TPU_PALLAS=0/1."""
+    if _FORCE_DISABLED:
+        return False
     env = os.environ.get("DPDFNET_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")

@@ -7,9 +7,10 @@ DeepFilterNet papers train with — compressed-spectral MSE, multi-resolution
 STFT loss, SI-SNR, and the LSNR auxiliary — plus an optax train step that
 shards the batch over a device mesh.
 
-Note: the fused Pallas GRU kernel is inference-only (no VJP); training
-traces use the XLA scan path automatically on CPU, and on TPU set
-``DPDFNET_TPU_PALLAS=0`` for training runs.
+Note: the fused Pallas GRU kernel is inference-only (no VJP); the train
+step forces the differentiable XLA scan path for its own trace
+(``pallas_gru.force_disabled``), so it works on any backend without
+configuration.
 """
 
 from __future__ import annotations
@@ -139,8 +140,14 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None):
     """
 
     def step(params, opt_state, noisy, clean):
-        (loss, aux), grads = jax.value_and_grad(
-            enhancement_loss, has_aux=True)(params, cfg, noisy, clean)
+        # The fused Pallas kernels are inference-only (no VJP); force the
+        # differentiable XLA scan path for this trace, so the step works
+        # on TPU without the caller touching DPDFNET_TPU_PALLAS.
+        from .ops import pallas_gru
+
+        with pallas_gru.force_disabled():
+            (loss, aux), grads = jax.value_and_grad(
+                enhancement_loss, has_aux=True)(params, cfg, noisy, clean)
         grads = _freeze_buffers(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
