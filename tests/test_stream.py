@@ -206,3 +206,21 @@ def test_hr_stream_block_size_invariance():
     b = _run_chunked(eng48, x, [333])
     np.testing.assert_array_equal(a, b)
     assert a.shape == x.shape
+
+
+def test_block_size_invariance_turbo_tier():
+    """Exact-mode bit-invariance must hold for the bf16 'turbo' tier too:
+    the per-frame scan runs an identical op sequence per frame regardless
+    of compute dtype (the round-2 bf16-plane kernels changed the kernel
+    IO dtypes — this pins the streaming contract across tiers)."""
+    from dpdfnet_tpu.runtime.engine import engine_from_quality
+
+    cfg = get_config("dpdfnet2")
+    eng = engine_from_quality(cfg, init_params(cfg, seed=0), quality="turbo")
+    rng = np.random.default_rng(1)
+    x = (0.1 * rng.normal(size=3200)).astype(np.float32)
+    ref = _run_chunked(eng, x, [160])
+    for sizes in ([64], [171], [320], [3, 333, 61]):
+        got = _run_chunked(eng, x, sizes)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
