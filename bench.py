@@ -36,16 +36,9 @@ def main() -> int:
     # f32-activation 'fast' tier (see docs/performance.md); the API
     # default for enhance() remains the f32-grade 'high' tier.
     tier = os.environ.get("BENCH_PRECISION", "turbo")
-    from dpdfnet_tpu.runtime.engine import QUALITY_TIERS  # noqa: E402
-
-    if tier in QUALITY_TIERS:
-        precision, dtype = QUALITY_TIERS[tier]
-        compute = "bfloat16" if dtype == "bf16" else None
-    else:
-        precision, compute = tier, None
+    # run_bench resolves quality-tier names (QUALITY_TIERS) itself.
     print(run_bench(model=model, batch=batch, seconds=seconds, reps=reps,
-                    random_weights=True, precision=precision,
-                    compute_dtype=compute, label=tier))
+                    random_weights=True, precision=tier))
     return 0
 
 

@@ -9,6 +9,7 @@ resampler is exercised by the block-size-invariance tests.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -131,7 +132,15 @@ class StftConfig:
 
     @property
     def window(self) -> np.ndarray:
-        return vorbis_window(self.win_len)
+        # cached: callers read this inside per-frame loops
+        return _window_cached(self.win_len)
+
+
+@functools.lru_cache(maxsize=8)
+def _window_cached(win_len: int) -> np.ndarray:
+    w = vorbis_window(win_len)
+    w.setflags(write=False)
+    return w
 
 
 def make_stft_config(win_len: int) -> StftConfig:

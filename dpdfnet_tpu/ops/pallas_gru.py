@@ -597,7 +597,7 @@ def dprnn_intra_block(
            + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
            + (CH if hoist and CH > 1 else 1) * tile * 2 * lanes * 4
            + (CH * tile * 6 * lanes * 4 if hoist and CH > 1 else 0))
-    vmem = max(_kernel_vmem(), min(int(est * 1.35), 126 * 1024 * 1024))
+    vmem = _sized_vmem(est, 1.35)
 
     out = pl.pallas_call(
         kern,
@@ -754,7 +754,7 @@ def dprnn_inter_block(
     est = (4 * TS * tile * lanes * isz           # x + out, 2 bufs each
            + 3 * tile * lanes * 4                # h0 + h_last + h carry
            + (TS * tile * xp_lanes * 4 if hoist else 0))
-    vmem = max(_kernel_vmem(), min(int(est * 1.35), 126 * 1024 * 1024))
+    vmem = _sized_vmem(est, 1.35)
 
     out, h_last = pl.pallas_call(
         kern,
@@ -1139,7 +1139,7 @@ def dprnn_stack(
            + 3 * K * plane                # h0 + hl (single-buf) + h scratch
            + 3 * plane + tile * 2 * C * 4  # cur + ys_fw/bw + x2 staging
            + sum(int(np.prod(w.shape)) * 4 for w in stacked.values()))
-    vmem = max(_kernel_vmem(), min(int(est * 1.7), 126 * 1024 * 1024))
+    vmem = _sized_vmem(est, 1.7)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     carry_spec = pl.BlockSpec((K, tile, Fq, C), lambda i, t: (0, i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1317,6 +1317,19 @@ def _kernel_vmem() -> int:
     if v < (1 << 20):
         v *= 1 << 20
     return v
+
+
+def _sized_vmem(est: int, slack: float) -> int:
+    """Resolve a kernel's scoped-vmem limit from its buffer-sum estimate.
+
+    An EXPLICIT DPDFNET_TPU_KERNEL_VMEM is the limit, full stop — the
+    knob's documented meaning is "cap the kernels' scoped vmem" (e.g. to
+    leave XLA fusions their own headroom), so self-sizing must not
+    override it upward.  With the knob unset, take the larger of the
+    48 MiB default and the slacked estimate, capped at 126 MiB."""
+    if os.environ.get("DPDFNET_TPU_KERNEL_VMEM") is not None:
+        return _kernel_vmem()
+    return max(_kernel_vmem(), min(int(est * slack), 126 * 1024 * 1024))
 _INTRA_V2_VMEM_BUDGET = 20 * 1024 * 1024
 
 

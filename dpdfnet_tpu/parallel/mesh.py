@@ -68,16 +68,26 @@ def make_sharded_enhance(
     Returns ``fn(params, wav [B, S]) -> enhanced [B, S]``.  The computation
     is the SAME code path as the single-device engine — per-shard programs
     are identical, XLA inserts no collectives (utterances are independent).
+
+    ``fn`` is a host-level convenience (it stages the batch through host
+    memory for the engine's length bucketing) and is NOT jit-composable;
+    to keep data on device or compose under jit, use
+    :func:`sharded_engine` directly and drive its jitted methods.
     """
     cache: dict = {}
 
     def fn(params, wav):
+        # Cache the built engine keyed by the params object.  The entry
+        # holds a strong reference to the caller's tree: id() of a freed
+        # object can be recycled by CPython, which would silently serve an
+        # engine built from the PREVIOUS weights.
         key = id(params)
-        if key not in cache:
+        hit = cache.get(key)
+        if hit is None or hit[0] is not params:
             cache.clear()
-            cache[key] = sharded_engine(
-                cfg, params, mesh, precision=precision, **kwargs)
-        out = cache[key].enhance_waveforms(np.asarray(wav))
+            cache[key] = (params, sharded_engine(
+                cfg, params, mesh, precision=precision, **kwargs))
+        out = cache[key][1].enhance_waveforms(np.asarray(wav))
         return jnp.asarray(out)
 
     return fn
@@ -96,12 +106,15 @@ def make_sharded_stream_step(cfg: ModelConfig, mesh: Mesh, *,
     cache: dict = {}
 
     def fn(params, spec, st):
+        # Strong-ref cache keyed by the params object (see
+        # make_sharded_enhance for why a bare id() key is unsafe).
         key = id(params)
-        if key not in cache:
+        hit = cache.get(key)
+        if hit is None or hit[0] is not params:
             cache.clear()
-            cache[key] = Engine(cfg, params, mesh=mesh, precision=precision,
-                                **kwargs)
-        eng = cache[key]
+            cache[key] = (params, Engine(cfg, params, mesh=mesh,
+                                         precision=precision, **kwargs))
+        eng = cache[key][1]
         run = eng._stream_spec_fn(spec.shape[0], spec.shape[1])
         return run(eng.params, spec, st)
 

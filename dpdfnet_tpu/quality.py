@@ -56,13 +56,15 @@ def enhance_reference_onnx(audio: np.ndarray, sr: int, onnx_path: str,
         frames.append(o)
     out = np.concatenate(frames, axis=1)[0]
     comp = out[..., 0] + 1j * out[..., 1]
-    yframes = np.fft.irfft(comp, n=cfg.win_len, axis=-1) * cfg.window
+    win = cfg.window
+    yframes = np.fft.irfft(comp, n=cfg.win_len, axis=-1) * win
     total = cfg.win_len + cfg.hop_size * (T - 1)
     y = np.zeros(total)
     wss = np.zeros(total)
+    w2 = win ** 2
     for t in range(T):
         y[t * cfg.hop_size: t * cfg.hop_size + cfg.win_len] += yframes[t]
-        wss[t * cfg.hop_size: t * cfg.hop_size + cfg.win_len] += cfg.window ** 2
+        wss[t * cfg.hop_size: t * cfg.hop_size + cfg.win_len] += w2
     y = y / np.where(wss > 1e-11, wss, 1.0)
     y = y[pad: total - pad]
     y = np.concatenate([y[cfg.win_len * 2:], np.zeros(cfg.win_len * 2)])
@@ -133,7 +135,13 @@ def validate_vs_onnx(
         deltas[m] = ours_m - ref_m
         print(f"{m}: tpu {ours_m:.4f}  onnx {ref_m:.4f}  "
               f"delta {deltas[m]:+.4f}")
-    if not np.isnan(deltas["pesq"]) and abs(deltas["pesq"]) > pesq_tolerance:
+    if np.isnan(deltas["pesq"]):
+        # The gate IS the PESQ delta — a missing `pesq` package must fail
+        # loudly, not report PASS without ever measuring it.
+        print("FAIL: PESQ unavailable (install the ITU 'pesq' package) — "
+              "the PESQ gate cannot be evaluated")
+        return 1
+    if abs(deltas["pesq"]) > pesq_tolerance:
         print(f"FAIL: |PESQ delta| {abs(deltas['pesq']):.4f} > "
               f"{pesq_tolerance}")
         return 1

@@ -50,6 +50,12 @@ class StreamEnhancer:
         self._win_len: int = cfg.win_len
         self._hop_size: int = cfg.hop
         self._input_sr: Optional[int] = None
+        # Warm the native host library at setup: its first load() may
+        # build libdpdfnet_host.so (seconds) — that must not land on the
+        # first hop of a live stream (e.g. inside an audio callback).
+        from . import native
+
+        native.load()
         self.reset()
 
     # ------------------------------------------------------------------ #
