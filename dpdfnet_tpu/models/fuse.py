@@ -274,10 +274,14 @@ def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
             bp["inter"] = inter
             blocks.append(bp)
         enc[branch] = blocks
-        if blocks:
+        if blocks and pallas_gru.stack_enabled():
             # branch-level stacked bundle for the merged DPRNN-stack kernel
             # (ops.pallas_gru.dprnn_stack): every per-block tensor stacked
             # on a leading K axis; biases/LN params as [K, 1, C] rows.
+            # Only built when the (default-off) stack kernel will consume
+            # it — otherwise it is a dead duplicate copy of every block's
+            # weights in device HBM.  Read at pack time: flip
+            # DPDFNET_TPU_STACK before building the engine/params.
             enc[branch + "_stacked"] = pallas_gru.pack_stack(blocks)
     p["enc"] = enc
     return p

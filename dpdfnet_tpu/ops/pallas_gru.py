@@ -26,6 +26,7 @@ independent streams (batch x whatever axis the model scans over).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 import os
 from typing import Tuple
@@ -115,7 +116,9 @@ def _inter_ts() -> int:
     TS>1 amortises the pipeline's per-cell bookkeeping; measured on v5e
     (dpdfnet8_48khz_hr 'default', intra tile 256): at seg 128/b32 TS 4
     and 8 tie (1156/1151); at the seg-112 default/b256 TS=8 wins
-    (1806 vs 1747 at TS=4) and TS=16 OOMs scoped vmem (67M > 48M)."""
+    (1806 vs 1747 at TS=4).  TS=16 now compiles (the self-sized vmem
+    limit covers its ~70M need when the env cap is unset) but measured
+    SLOWER: 1856 at 96M f32/b256, 2080 at turbo/b384."""
     return int(os.environ.get("DPDFNET_TPU_INTER_TS", "8"))
 
 
@@ -138,7 +141,7 @@ def _inter_hoist() -> bool:
         "DPDFNET_TPU_INTER_HOIST", "0") not in ("0", "false", "False")
 
 
-_FORCE_DISABLED = 0
+_FORCE_DISABLED = contextvars.ContextVar("dpdfnet_force_disabled", default=0)
 
 
 @contextlib.contextmanager
@@ -146,18 +149,18 @@ def force_disabled():
     """Trace-time context that routes model dispatch off the Pallas
     kernels regardless of backend/env — the kernels are inference-only
     (no VJP), so differentiating code (train steps) wraps its trace in
-    this to take the XLA scan path."""
-    global _FORCE_DISABLED
-    _FORCE_DISABLED += 1
+    this to take the XLA scan path.  ContextVar-scoped so a concurrent
+    trace in another thread keeps its kernels."""
+    token = _FORCE_DISABLED.set(_FORCE_DISABLED.get() + 1)
     try:
         yield
     finally:
-        _FORCE_DISABLED -= 1
+        _FORCE_DISABLED.reset(token)
 
 
 def enabled() -> bool:
     """Use the Pallas kernel? Overridable via DPDFNET_TPU_PALLAS=0/1."""
-    if _FORCE_DISABLED:
+    if _FORCE_DISABLED.get():
         return False
     env = os.environ.get("DPDFNET_TPU_PALLAS")
     if env is not None:
@@ -208,7 +211,8 @@ def plane_io_bf16(precision: str) -> bool:
     """
     if precision != "default":
         return False
-    return os.environ.get("DPDFNET_TPU_PLANE_IO", "") in ("bf16", "1")
+    return os.environ.get(
+        "DPDFNET_TPU_PLANE_IO", "0") not in ("0", "false", "False", "f32", "")
 
 
 def _pick_tile(N: int, cap: int) -> int:
@@ -394,7 +398,8 @@ def gru_bidir_tm(
     return ys_f, ys_b
 
 
-def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
+def _intra_block_kernel(T: int, C: int, hoist: bool, CH: int,
+                        precision, eps: float,
                         x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
                         out_ref, scrf, scrb, x2s, xp_scr):
@@ -416,12 +421,12 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, precision, eps: float,
     # bf16 vector-op pitfalls of this Mosaic version (offset-layout
     # concats, lane-slice staging) never see a bf16 value.
     cdt = scrf.dtype
-    # Sequence chunk: all dynamic x/out accesses on the (tiled) middle dim
-    # happen at provably 8-aligned bases so bf16's (2,1) sublane packing is
-    # legal; offsets within a chunk are static.  CH=1 falls back to the
-    # per-step form (f32 planes only — the wrapper upcasts bf16 inputs
-    # when T % 8 != 0).
-    CH = 8 if T % 8 == 0 else 1
+    # Sequence chunk CH (passed by the wrapper — the scratch shapes and
+    # the vmem estimate depend on the same value): all dynamic x/out
+    # accesses on the (tiled) middle dim happen at provably 8-aligned
+    # bases so bf16's (2,1) sublane packing is legal; offsets within a
+    # chunk are static.  CH=1 falls back to the per-step form (f32
+    # planes only — the wrapper upcasts bf16 inputs when T % 8 != 0).
 
     # Recurrence via fori_loop over chunks (compact code, reused stack
     # slots — a full static unroll was measured to leak one [tile, 6C]
@@ -571,7 +576,16 @@ def dprnn_intra_block(
     # values to make the choice part of the jit cache key (an env change
     # after a shape is traced is otherwise ignored for that shape).
     if tile is None:
-        tile = _intra_tile(512 if dtype == jnp.bfloat16 else None)
+        default = None
+        if dtype == jnp.bfloat16:
+            # tile 512 needs ~64M scoped vmem; when an EXPLICIT
+            # DPDFNET_TPU_KERNEL_VMEM caps below that (self-sizing is
+            # then disabled — see _sized_vmem), degrade to the f32
+            # default instead of hard-failing the compile.
+            explicit = os.environ.get("DPDFNET_TPU_KERNEL_VMEM")
+            if explicit is None or _kernel_vmem() >= 64 * 1024 * 1024:
+                default = 512
+        tile = _intra_tile(default)
     tile = _pick_tile(N, tile)
     n_pad = (-N) % tile
     if n_pad:
@@ -581,7 +595,7 @@ def dprnn_intra_block(
     hoist = _intra_hoist() if hoist is None else hoist
     CH = 8 if T % 8 == 0 else 1
     kern = functools.partial(
-        _intra_block_kernel, T, C, hoist and CH > 1,
+        _intra_block_kernel, T, C, hoist and CH > 1, CH,
         _PRECISIONS[precision], 1e-5)
     # Scoped-vmem self-sizing: the x/out pipeline blocks and the ys
     # scratches scale with the tile, so large tiles (or f32 planes at
@@ -592,11 +606,13 @@ def dprnn_intra_block(
     # so a thin margin chases itself; 1.35x lands in the measured-good
     # 64M region.  f32 tile 512 -> 72M; f32 tile 256 fits 48M.)
     lanes = max(C, 128)                  # C < 128 pads to the lane tile
+    l2c = -(-2 * C // 128) * 128         # padded widths of the staging
+    l6c = -(-6 * C // 128) * 128         # scratches (cf. inter xp_lanes)
     isz = 2 if dtype == jnp.bfloat16 else 4
     est = (4 * tile * T * lanes * isz            # x + out, 2 bufs each
            + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
-           + (CH if hoist and CH > 1 else 1) * tile * 2 * lanes * 4
-           + (CH * tile * 6 * lanes * 4 if hoist and CH > 1 else 0))
+           + (CH if hoist and CH > 1 else 1) * tile * l2c * 4
+           + (CH * tile * l6c * 4 if hoist and CH > 1 else 0))
     vmem = _sized_vmem(est, 1.35)
 
     out = pl.pallas_call(

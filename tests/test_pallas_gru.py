@@ -490,3 +490,36 @@ def test_fused_dprnn_stack_forward_bf16_planes(monkeypatch):
         assert a.dtype == b.dtype
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=0.05)
+
+
+@pytest.mark.parametrize("bf16_planes", [False, True])
+def test_dprnn_inter_block_hoist(monkeypatch, bf16_planes):
+    """DPDFNET_TPU_INTER_HOIST=1 (TS-block xp GEMM into scratch) must
+    match the per-step form exactly — same dots, same order, only the
+    xp computation site moves."""
+    monkeypatch.setenv("DPDFNET_TPU_INTER_HOIST", "1")
+    rng = np.random.default_rng(14)
+    N, T, C = 16, 8, 8
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    yt, hl_ref = onn.gru_seq(p, x, h0=h0)
+    yt = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yt))
+    ref = x + yt
+
+    xt = jnp.swapaxes(x, 0, 1)
+    if bf16_planes:
+        xt = xt.astype(jnp.bfloat16)
+    out, hl = pallas_gru.dprnn_inter_block(
+        xt, h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, precision="highest", interpret=True, ts=4)
+    atol = 3e-2 if bf16_planes else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1), np.float32),
+        np.asarray(ref), atol=atol)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               atol=3e-2 if bf16_planes else 2e-5)
