@@ -49,8 +49,6 @@ QUALITY_TIERS = {
 
 def engine_from_quality(cfg, params, quality: str = "high", **kwargs):
     """Build an Engine from a named quality tier (see QUALITY_TIERS)."""
-    import jax.numpy as jnp
-
     try:
         precision, dtype = QUALITY_TIERS[quality]
     except KeyError as exc:
@@ -253,10 +251,14 @@ class Engine:
 
         # Geometric length buckets (x1.5 ladder above 1 bucket) so a corpus
         # of varied utterance lengths compiles O(log) programs instead of one
-        # per second of length.  Padding is causally harmless (tail output
-        # is discarded).
+        # per second of length.  The pipeline's valid output length is
+        # S_pad - win_len (the front end pads win_len, the back end drops
+        # the 2*win_len alignment), so the bucket must clear S by at least
+        # win_len or the last 20 ms of an exact-bucket-length clip would
+        # come back as silence.
+        need = max(S + self.cfg.win_len, 1)
         S_pad = self.bucket_samples
-        while S_pad < max(S, 1):
+        while S_pad < need:
             S_pad = -(-(S_pad * 3 // 2) // self.bucket_samples) * self.bucket_samples
         xp = np.zeros((B, S_pad), np.float32)
         xp[:, :S] = x
@@ -344,6 +346,12 @@ class Engine:
         for i in range(n_seg):
             o, st = seg_step(self.params, spec_p[:, i * seg:(i + 1) * seg], st)
             outs.append(o)
+            # Materialise a scalar of the segment before reporting: jit
+            # dispatch is async, so without a sync the callback would track
+            # ENQUEUE rate and hit 100% while the device is still working.
+            # (A host checksum, not block_until_ready — the latter returns
+            # early through the axon relay.)
+            float(jnp.sum(o[:1, -1, :1]))
             progress_callback(min((i + 1) * seg, T), T)
         out = jnp.concatenate(outs, axis=1)[:, :T]
         return back(spec, out, jnp.asarray(np.float32(alpha)))
@@ -497,6 +505,8 @@ class Engine:
                 f"({self.mesh.size}) on a sharded engine")
         if mode not in ("exact", "throughput"):
             raise ValueError(f"unknown streaming mode {mode!r}")
+        if T == 0:
+            return np.zeros((B, 0, self.cfg.win_len), np.float32), st
         make_fn = (self._stream_vec_fn if mode == "throughput"
                    else self._stream_fn)
         outs = []

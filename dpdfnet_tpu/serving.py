@@ -108,11 +108,13 @@ class MultiStreamEnhancer:
         self._reset_slot(sid)
 
     def _reset_slot(self, sid: int) -> None:
-        import jax.numpy as jnp
-
         from .models import state as state_lib
 
-        fresh = state_lib.init_state(self._engine.cfg, batch=1)
+        # Match the pool state's dtype (bf16 on the turbo tier): an f32
+        # leaf scattered into a bf16 tree is an unsafe cast JAX is
+        # deprecating into an error.
+        fresh = state_lib.init_state(self._engine.cfg, batch=1,
+                                     dtype=self._engine.compute_dtype)
 
         def put(cur, new):
             return cur.at[sid].set(new[0])
@@ -144,14 +146,19 @@ class MultiStreamEnhancer:
         return empty arrays.  All frames of all streams in the same call run
         through one batched program (padded to the max frame count).
         """
+        from .audio import to_mono
+
+        # Validate and downmix EVERY chunk before touching any buffer: a
+        # bad sid late in the dict must not leave earlier streams' buffers
+        # already appended (a caller retrying the whole dict would then
+        # duplicate audio in live streams).
+        staged: Dict[int, np.ndarray] = {}
         for sid, chunk in chunks.items():
             self._check(sid)
-            c = np.asarray(chunk, np.float32)
-            if c.ndim == 2:
-                c = c.mean(axis=1)
+            staged[sid] = to_mono(np.asarray(chunk, np.float32))
+        for sid, c in staged.items():
             self._in_buf[sid] = np.concatenate([self._in_buf[sid], c])
 
-        import jax
         import jax.numpy as jnp
 
         counts = {
@@ -170,6 +177,10 @@ class MultiStreamEnhancer:
                 groups.setdefault(n, []).append(sid)
 
         for n, sids in sorted(groups.items()):
+            # slot order is output-independent (the scatter maps rows back
+            # by sid); sorting makes the zero-copy identity fast path
+            # insensitive to the dict's insertion order
+            sids = sorted(sids)
             g = len(sids)
             # Always run the full-capacity batch: one compiled program for
             # the pool's lifetime, and per-slot results independent of which

@@ -155,10 +155,18 @@ class StreamEnhancer:
     def load_state(self, snapshot: dict) -> None:
         """Restore a snapshot from :meth:`save_state`; the stream continues
         bit-exactly from where it was saved."""
+        import jax
+
         from .models import state as state_lib
 
-        self._state = state_lib.unflatten_state(
+        st = state_lib.unflatten_state(
             self._engine.cfg, snapshot["model_state"], batch=1)
+        # restore at the engine's compute dtype (bf16 on the turbo tier) —
+        # an f32 tree would trace/compile a second program per shape and
+        # diverge from the un-interrupted stream's dtype
+        cdt = self._engine.compute_dtype
+        self._state = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt), st)
         self._in_buf = np.asarray(snapshot["in_buf"], np.float32).copy()
         self._ola_tail = np.asarray(snapshot["ola_tail"], np.float32).copy()
         self._input_sr = snapshot["input_sr"]

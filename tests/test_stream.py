@@ -224,3 +224,17 @@ def test_block_size_invariance_turbo_tier():
         got = _run_chunked(eng, x, sizes)
         assert got.shape == ref.shape
         np.testing.assert_array_equal(got, ref)
+
+
+def test_offline_exact_bucket_length_tail_nonzero(engine):
+    """An utterance exactly one length bucket long must get real enhanced
+    audio in its final win_len samples — the pipeline's valid output is
+    S_pad - win_len, so the bucket has to clear S by win_len (regression:
+    the tail of exact-bucket-length clips came back as silence)."""
+    sr = engine.cfg.sample_rate
+    rng = np.random.default_rng(7)
+    x = (0.1 * rng.normal(size=engine.bucket_samples)).astype(np.float32)
+    y = engine.enhance_waveforms(x)
+    assert y.shape == x.shape
+    tail = y[-engine.cfg.win_len:]
+    assert np.abs(tail).max() > 0.0
