@@ -8,8 +8,12 @@ streaming torch, ONNX export, TFLite).  Here there is exactly one:
 operating on ``spec: [B, T, F, 2]`` (wnorm-scaled STFT frames) with explicit
 carried state.  Offline enhancement runs the whole utterance in a single jit
 (T = all frames); streaming runs the same function on whatever frames are
-buffered (any T >= 1) — outputs are bit-identical regardless of chunking
-because every recurrence carries its state through the pytree.
+buffered (any T >= 1).  Per-frame chunking (T == 1 every call) is
+bit-identical regardless of how the caller slices the stream — the engine's
+"exact" mode and the contract ``tests/test_stream.py`` pins.  Multi-frame
+chunks carry the same state but vectorise the EMA norms with an associative
+scan whose reduction tree depends on T, so different multi-frame chunkings
+agree only to fp tolerance (~1e-7 per norm, ~1e-5 end-to-end).
 
 Semantics follow the reference *streaming* graph
 (`/root/reference/onnx_model/dpdfnet.py:748-806`): output frame ``t`` is the

@@ -47,6 +47,11 @@ def _fuse_conv(p: Dict, cin: int) -> Dict:
     fused = np.einsum("tfcm,md->tfcd", dense, pw)
     out = {k: v for k, v in p.items() if k != "pw"}
     out["w"] = jnp.asarray(fused)
+    if out.get("b") is not None:
+        # unfused epilogue order is bias -> pointwise (ops.nn._conv_epilogue):
+        # (conv + b) @ pw = conv @ pw + b @ pw, so the bias transforms too
+        out["b"] = jnp.asarray(
+            np.asarray(p["b"], np.float32) @ pw)
     return out
 
 
@@ -83,8 +88,12 @@ def _fuse_subpixel(p: Dict, cin: int, fstride: int) -> Dict:
     # structure, so the forward can branch on it under jit.
     out["w_fm"] = jnp.asarray(fused)
     if out.get("b") is not None:
-        bvec = np.asarray(out["b"]).reshape(cout, fstride)
-        out["b"] = jnp.asarray(np.moveaxis(bvec, -1, 0).reshape(-1))
+        # unfused order: bias (on channel c*s+i) -> shuffle -> pointwise
+        # over c, so for output (d, i): b_f = sum_c b[c*s+i] * pw[c, d] —
+        # then repacked freq-major (i*Cout + d) to match 'w_fm'
+        bvec = np.asarray(p["b"], np.float32).reshape(cout, fstride)
+        bf = np.einsum("ci,cd->di", bvec, pw)
+        out["b"] = jnp.asarray(np.moveaxis(bf, -1, 0).reshape(-1))
     return out
 
 
@@ -161,6 +170,16 @@ def fold_hr_tail(params: Params, cfg: ModelConfig) -> Params:
     s = cfg.erb_fstrides[0]
     assert s == cfg.dec_fstrides[2] == 3
     C = cfg.conv_ch
+    # Precondition: fuse_separable already ran (erb_conv1 dense [1,3,C,C],
+    # convt1 as freq-major 'w_fm').  On a raw converted tree the erb_conv1
+    # fold below would silently BROADCAST a depthwise row across all C
+    # input channels before dying on a misleading KeyError('w_fm').
+    ec1_w = np.asarray(params["enc"]["erb_conv1"]["w"])
+    if ec1_w.shape[2] != C or "w_fm" not in params["erb_dec"]["convt1"]:
+        raise ValueError(
+            "fold_hr_tail requires fuse_separable to run first "
+            f"(erb_conv1 weight {ec1_w.shape}, convt1 keys "
+            f"{sorted(params['erb_dec']['convt1'])})")
 
     p = dict(params)
     enc = dict(p["enc"])
@@ -263,15 +282,19 @@ def pack_dprnn_bidir(params: Params, cfg: ModelConfig) -> Params:
             intra = dict(bp["intra"])
             wi2, wh2, b2 = pallas_gru._pack_bidir(
                 intra["fw"], intra["bw"], jnp.float32)
-            wi_cat, wh_big = pallas_gru.pack_intra_v2(
-                {"wi2": wi2, "wh2": wh2}, intra["fc"]["w"])
-            intra["packed"] = {"wi2": wi2, "wh2": wh2, "b2": b2,
-                               "wi_cat": wi_cat, "wh_big": wh_big}
+            intra["packed"] = {"wi2": wi2, "wh2": wh2, "b2": b2}
             bp["intra"] = intra
-            inter = dict(bp["inter"])
-            inter["whfc"] = jnp.concatenate(
-                [inter["gru"]["wh"], inter["fc"]["w"]], axis=1)
-            bp["inter"] = inter
+            if pallas_gru.v2_requested():
+                # v2-only duplicates (hoisted-projection kernel variants,
+                # measured slower, default-off): only pack when requested —
+                # same dead-HBM rationale as the stacked bundle below
+                wi_cat, wh_big = pallas_gru.pack_intra_v2(
+                    {"wi2": wi2, "wh2": wh2}, intra["fc"]["w"])
+                intra["packed"].update(wi_cat=wi_cat, wh_big=wh_big)
+                inter = dict(bp["inter"])
+                inter["whfc"] = jnp.concatenate(
+                    [inter["gru"]["wh"], inter["fc"]["w"]], axis=1)
+                bp["inter"] = inter
             blocks.append(bp)
         enc[branch] = blocks
         if blocks and pallas_gru.stack_enabled():

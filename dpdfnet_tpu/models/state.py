@@ -34,8 +34,31 @@ Array = jnp.ndarray
 State = Dict
 
 
+def _check_layout_assumptions(cfg: ModelConfig) -> None:
+    """Fail fast on configs the fixed state layout cannot represent.
+
+    The ring/tail sizes here, in ``flatten_state`` and in
+    ``dpdfnet._apply_df`` are hard-pinned to the model family's shared
+    hyperparameters (kt=3 input convs, df_kt=5, df_order=5, lookahead=2 —
+    identical across all six shipped checkpoints and the reference's
+    streaming graph, `/root/reference/onnx_model/dpdfnet.py:715-746`).  A
+    config deviating from them would otherwise mis-size a tail silently
+    and surface as an opaque broadcast error deep in the decoders."""
+    fixed = {"conv_kernel_inp[0]": (cfg.conv_kernel_inp[0], 3),
+             "df_kt": (cfg.df_kt, 5),
+             "df_order": (cfg.df_order, 5),
+             "lookahead": (cfg.lookahead, 2)}
+    bad = {k: got for k, (got, want) in fixed.items() if got != want}
+    if bad:
+        raise NotImplementedError(
+            f"state layout supports only the model family's fixed "
+            f"hyperparameters; got {bad} (expected "
+            f"{ {k: want for k, (_, want) in fixed.items()} })")
+
+
 def init_state(cfg: ModelConfig, batch: int = 1, dtype=jnp.float32) -> State:
     """Fresh per-stream state for a batch of independent streams."""
+    _check_layout_assumptions(cfg)
     C = cfg.conv_ch
     F = cfg.freq_bins
     E = F if cfg.hr else cfg.nb_erb       # erb/mag norm + conv0 feature width

@@ -181,10 +181,19 @@ def v2_enabled(precision: str) -> bool:
     When enabled, the fused stack takes the inter-v2 path; intra v2 is
     exercised directly by tests/benchmarks only.
     """
+    if precision != "default":
+        # the v2 path stores the hoisted xp in bf16 — enabling it under
+        # the f32-grade 'high'/'highest' tiers would silently break
+        # their accuracy contract
+        return False
+    return v2_requested()
+
+
+def v2_requested() -> bool:
+    """Raw DPDFNET_TPU_PALLAS_V2 env truthiness (no precision gate) —
+    used at parameter-pack time, where the run precision is unknown."""
     env = os.environ.get("DPDFNET_TPU_PALLAS_V2")
-    if env is not None:
-        return env not in ("0", "false", "False")
-    return False
+    return env is not None and env not in ("0", "false", "False")
 
 
 def plane_io_bf16(precision: str) -> bool:

@@ -197,3 +197,53 @@ def test_fuse_separable_preserves_forward():
         np.testing.assert_allclose(
             np.asarray(out_fused), np.asarray(out_ref), atol=2e-5,
             err_msg=name)
+
+
+def test_fuse_conv_transforms_bias():
+    """Separable-conv fusion must transform the bias too: the unfused
+    epilogue order is bias -> pointwise, so the fused dense conv needs
+    b @ pw (regression: the bias was carried over untransformed, shifting
+    outputs by b - b@pw for any biased separable checkpoint)."""
+    from dpdfnet_tpu.models.fuse import _fuse_conv
+    from dpdfnet_tpu.ops.nn import conv_block
+
+    rng = np.random.default_rng(21)
+    B, T, F, C = 2, 5, 16, 8
+    p = {
+        "w": jnp.asarray(rng.normal(size=(2, 3, 1, C)).astype(np.float32) * 0.3),
+        "b": jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+        "pw": {"w": jnp.asarray(
+            rng.normal(size=(C, C)).astype(np.float32) * 0.3)},
+        "bn": {"scale": jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+               "shift": jnp.asarray(rng.normal(size=(C,)).astype(np.float32))},
+    }
+    x = jnp.asarray(rng.normal(size=(B, T, F, C)).astype(np.float32))
+    ref, _ = conv_block(p, x, kt=2, kf=3)
+    fused = _fuse_conv(dict(p), C)
+    assert fused.get("pw") is None
+    got, _ = conv_block(fused, x, kt=2, kf=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fuse_subpixel_transforms_bias():
+    """Same bias contract for the sub-pixel fusion (bias on channel c*s+i
+    -> shuffle -> pointwise over c, then freq-major repack)."""
+    from dpdfnet_tpu.models.fuse import _fuse_subpixel
+    from dpdfnet_tpu.ops.nn import subpixel_block
+
+    rng = np.random.default_rng(22)
+    B, T, F, C, s = 2, 4, 10, 8, 2
+    p = {
+        "w": jnp.asarray(
+            rng.normal(size=(1, 3, 1, s * C)).astype(np.float32) * 0.3),
+        "b": jnp.asarray(rng.normal(size=(s * C,)).astype(np.float32)),
+        "pw": {"w": jnp.asarray(
+            rng.normal(size=(C, C)).astype(np.float32) * 0.3)},
+        "bn": None,
+    }
+    x = jnp.asarray(rng.normal(size=(B, T, F, C)).astype(np.float32))
+    ref = subpixel_block(p, x, kf=3, fstride=s, act=None)
+    fused = _fuse_subpixel(dict(p), C, s)
+    assert fused.get("pw") is None and "w_fm" in fused
+    got = subpixel_block(fused, x, kf=3, fstride=s, act=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
