@@ -27,6 +27,7 @@ from .zoo import (
 
 _ENGINE_CACHE: Dict[str, object] = {}
 _ENGINE_LOCK = threading.Lock()
+_ENGINE_BUILD_LOCKS: Dict[str, threading.Lock] = {}
 
 
 def available_models() -> List[Dict[str, Any]]:
@@ -62,17 +63,28 @@ def _get_engine(
     from .runtime.engine import engine_from_quality
 
     key = f"{model}:{checkpoint_path}:{quality}"
+    # Per-key build locks: building an engine can include a multi-minute
+    # download + checkpoint conversion, which must not stall concurrent
+    # callers of OTHER (already-cached or unrelated) models.  The global
+    # lock only guards the tiny cache/lock-registry lookups.
     with _ENGINE_LOCK:
         eng = _ENGINE_CACHE.get(key)
         if eng is not None:
             return eng
+        build_lock = _ENGINE_BUILD_LOCKS.setdefault(key, threading.Lock())
+    with build_lock:
+        with _ENGINE_LOCK:
+            eng = _ENGINE_CACHE.get(key)
+            if eng is not None:
+                return eng
         resolved = resolve_model(
             model=model, checkpoint_path=checkpoint_path,
             auto_download=True, verbose=verbose,
         )
         params = load_model_params(resolved)
         eng = engine_from_quality(resolved.cfg, params, quality)
-        _ENGINE_CACHE[key] = eng
+        with _ENGINE_LOCK:
+            _ENGINE_CACHE[key] = eng
         return eng
 
 
@@ -136,8 +148,12 @@ def enhance_batch(
     """Enhance many utterances in one padded batch (the TPU throughput path)."""
     from .audio import ensure_sample_rate, fit_length, to_mono
 
-    if isinstance(sample_rates, int):
-        sample_rates = [sample_rates] * len(audios)
+    if isinstance(sample_rates, bool):
+        raise TypeError("sample_rates must be an int or a list of ints")
+    if isinstance(sample_rates, (int, np.integer)):
+        # accept numpy integer scalars too (natural when the rate comes
+        # from soundfile/np metadata)
+        sample_rates = [int(sample_rates)] * len(audios)
     if len(sample_rates) != len(audios):
         raise ValueError("sample_rates must match audios length")
 

@@ -49,8 +49,18 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos: pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
+        if pos + 8 + size > len(data):
+            # size field runs past EOF: truncated/corrupt file.  Refuse
+            # rather than decode silently shortened audio.
+            raise ValueError(
+                f"Truncated WAVE file {path}: chunk {cid!r} claims {size} "
+                f"bytes but only {len(data) - pos - 8} remain")
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(
+                    f"Malformed WAVE file {path}: fmt chunk is {size} bytes "
+                    f"(needs >= 16)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and size >= 40:
                 sub = struct.unpack_from("<H", body, 24)[0]
@@ -62,6 +72,11 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError(f"Missing fmt/data chunk in WAVE file: {path}")
     wformat, channels, sr, _, _, bits = fmt
+    bytes_per = max(1, bits // 8)
+    if len(payload) % (bytes_per * max(1, channels)):
+        raise ValueError(
+            f"Malformed WAVE file {path}: data chunk ({len(payload)} bytes) "
+            f"is not a whole number of {channels}-channel {bits}-bit frames")
 
     if wformat == _WAVE_FORMAT_PCM:
         if bits == 16:

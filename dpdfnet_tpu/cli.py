@@ -11,11 +11,12 @@ sessions.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from .banner import print_banner
 from .zoo import DEFAULT_MODEL, get_cache_model_dir, get_model_info, supported_models
@@ -245,18 +246,37 @@ def _run_enhance_dir(args: argparse.Namespace) -> int:
 
     output_dir.mkdir(parents=True, exist_ok=True)
     B = max(1, args.batch_size)
-    n_workers = args.workers or 4
+    n_workers = (max(1, args.workers) if args.workers is not None
+                 else (os.cpu_count() or 4))
     errors: List[tuple] = []
     t0 = time.perf_counter()
     total_audio_s = 0.0
 
+    # Output names: '<stem>_enhanced.wav'; when two inputs share a stem
+    # (a.wav + a.flac) keep the source extension in the name so they don't
+    # silently overwrite each other.
+    stem_counts: Dict[str, int] = {}
+    for p in audio_files:
+        stem_counts[p.stem] = stem_counts.get(p.stem, 0) + 1
+    dests = {
+        p: output_dir / (
+            f"{p.stem}_enhanced.wav" if stem_counts[p.stem] == 1
+            else f"{p.stem}_{p.suffix.lstrip('.')}_enhanced.wav")
+        for p in audio_files
+    }
+
     with ThreadPoolExecutor(max_workers=n_workers) as io_pool:
+        pending = [io_pool.submit(_safe_read, p) for p in audio_files[:B]]
+        writes: List[tuple] = []
         for i in range(0, len(audio_files), B):
-            chunk = audio_files[i: i + B]
-            loaded = list(io_pool.map(_safe_read, chunk))
+            futs = pending
+            # prefetch the NEXT batch's decodes so they overlap this
+            # batch's device compute
+            pending = [io_pool.submit(_safe_read, p)
+                       for p in audio_files[i + B: i + 2 * B]]
+            loaded = [f.result() for f in futs]
             good = [(p, a, sr) for p, a, sr in loaded if a is not None]
-            errors.extend((p, RuntimeError("unreadable")) for p, a, _ in loaded
-                          if a is None)
+            errors.extend((p, e) for p, a, e in loaded if a is None)
             if not good:
                 continue
             outs = enhance_batch(
@@ -264,15 +284,19 @@ def _run_enhance_dir(args: argparse.Namespace) -> int:
                 model=args.model, attn_limit_db=args.attn_limit_db,
                 quality=args.quality, verbose=args.verbose)
             total_audio_s += sum(a.shape[0] / sr for _, a, sr in good)
-            writes = []
             for (p, _a, sr), out in zip(good, outs):
-                dest = output_dir / f"{p.stem}_enhanced.wav"
-                writes.append(io_pool.submit(
-                    write_wav, dest, pcm16_safe(out), int(sr), subtype="PCM_16"))
-            for w in writes:
-                w.result()
+                writes.append((p, io_pool.submit(
+                    write_wav, dests[p], pcm16_safe(out), int(sr),
+                    subtype="PCM_16")))
             done = min(i + B, len(audio_files))
             print(f"  [{done}/{len(audio_files)}] processed", file=sys.stderr)
+        # writes are only joined here, after the last batch dispatched —
+        # encode IO overlaps compute throughout
+        for p, w in writes:
+            try:
+                w.result()
+            except Exception as exc:  # noqa: BLE001 - reported per file
+                errors.append((p, exc))
 
     dt = time.perf_counter() - t0
     if total_audio_s > 0:
@@ -290,8 +314,10 @@ def _safe_read(path: Path):
     try:
         audio, sr = _read_audio(path)
         return path, audio, sr
-    except Exception:
-        return path, None, 0
+    except Exception as exc:  # noqa: BLE001 - reported per file at the end
+        # third slot carries the actual cause ('soundfile required for
+        # .flac', decode stderr, PermissionError...) for the error report
+        return path, None, exc
 
 
 def _run_download(args: argparse.Namespace) -> int:

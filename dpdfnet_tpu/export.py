@@ -35,15 +35,6 @@ from .models import init_norms, state as state_lib
 from .models.dpdfnet import forward_spec
 
 
-def _flat_state_spec(cfg: ModelConfig):
-    """(offsets, shapes) for a jnp flatten of the state pytree, matching the
-    reference layout implemented in ``models.state``."""
-    # Build once from the numpy adapter: flatten a template and record sizes.
-    template = state_lib.init_state(cfg, batch=1)
-    flat = state_lib.flatten_state(cfg, template)
-    return flat.shape[0]
-
-
 def _flatten_jnp(cfg: ModelConfig, st) -> jnp.ndarray:
     """Traceable flatten of the state pytree -> [B, S] (reference layout)."""
     B = st["erb_norm"].shape[0]
@@ -142,7 +133,7 @@ def export_stream(
     out_path = Path(out_path)
     step = make_stream_step(params, cfg, precision)
     spec = jnp.zeros((batch, 1, cfg.freq_bins, 2), jnp.float32)
-    flat = jnp.zeros((batch, _flat_state_spec(cfg)), jnp.float32)
+    flat = jnp.zeros((batch, state_lib.state_size(cfg)), jnp.float32)
     kwargs = {"platforms": platforms} if platforms else {}
     exp = jax_export.export(jax.jit(step), **kwargs)(spec, flat)
     out_path.write_bytes(exp.serialize())

@@ -249,6 +249,11 @@ def _worth_retrying(exc: Exception) -> bool:
     if isinstance(exc, OSError):
         if exc.errno in _PERMISSION_ERRNOS:
             return False
+        if isinstance(exc, (TimeoutError, ConnectionError)):
+            # socket read timeouts and mid-body disconnects
+            # (http.client.RemoteDisconnected is a ConnectionResetError)
+            # carry errno=None — still the most common transient failures
+            return True
         return exc.errno in _TRANSIENT_ERRNOS
     return False
 
@@ -317,6 +322,13 @@ def _ensure_downloaded(
                     f"'{destination_dir}'. Set DPDFNET_TPU_CACHE_DIR or "
                     f"DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
                 ) from exc
+            if isinstance(exc, (TimeoutError, ConnectionError)):
+                raise RuntimeError(
+                    f"Failed to download '{info.checkpoint_filename}' from "
+                    f"'{url}'. Network error: {exc}. Check network/proxy "
+                    f"settings and retry; `dpdfnet-tpu download {info.name}` "
+                    f"pre-fetches."
+                ) from exc
             raise RuntimeError(
                 f"Failed to download '{info.checkpoint_filename}' from '{url}'. "
                 f"Local filesystem error while writing '{ckpt_path}': {exc}."
@@ -381,8 +393,17 @@ def resolve_model(
             "checkpoint_path."
         )
 
-    params_path = npz if npz is not None else (
-        _download_target_dir() / _npz_name(info))
+    if npz is not None:
+        params_path = npz
+    elif checkpoint_path is not None:
+        # An explicit checkpoint gets its OWN conversion cache, next to
+        # the checkpoint file.  Using the stock '<model>.params.npz' name
+        # would (a) silently serve stock weights when that cache already
+        # exists, and (b) poison the stock cache with custom weights when
+        # it does not.
+        params_path = ckpt.with_name(ckpt.stem + ".params.npz")
+    else:
+        params_path = _download_target_dir() / _npz_name(info)
     return ResolvedModel(info=info, cfg=cfg, params_path=params_path,
                          checkpoint_path=ckpt)
 
