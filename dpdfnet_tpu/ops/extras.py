@@ -64,7 +64,11 @@ def _angle_fwd(x):
 def _angle_bwd(x, g):
     denom = jnp.maximum(jnp.square(x.real) + jnp.square(x.imag), 1e-10)
     ginv = g / denom
-    return (jax.lax.complex(-x.imag * ginv, x.real * ginv),)
+    # JAX's complex cotangent convention is the CONJUGATE of torch's
+    # (grad f = conj(df/dz) for real-valued f): the torch backward
+    # (model/utils.py:104-116) returns (-i*g, r*g); here the imaginary
+    # part flips so jax.grad matches jnp.arctan2's native gradient.
+    return (jax.lax.complex(-x.imag * ginv, -(x.real * ginv)),)
 
 
 angle.defvjp(_angle_fwd, _angle_bwd)
@@ -98,8 +102,10 @@ def local_snr(
     eps: float = 1e-12,
 ) -> Tuple[Array, Array, Array]:
     """Per-frame SNR from clean/noise spectrograms [B, T, F, 2]."""
-    c = as_real(clean)[:, None] if as_real(clean).ndim == 4 else as_real(clean)
-    n = as_real(noise)[:, None] if as_real(noise).ndim == 4 else as_real(noise)
+    c = as_real(clean)
+    n = as_real(noise)
+    c = c[:, None] if c.ndim == 4 else c
+    n = n[:, None] if n.ndim == 4 else n
     e_speech = _local_energy(c, window_size)
     ws_ns = window_size if window_size_ns is None else window_size_ns
     e_noise = _local_energy(n, ws_ns)
@@ -131,8 +137,11 @@ class LocalSnrTarget:
     def __call__(self, clean: Array, noise: Array,
                  max_bin: Optional[int] = None) -> Array:
         if max_bin is not None:
-            clean = clean[..., :max_bin, :]
-            noise = noise[..., :max_bin, :]
+            # normalise to real-stacked [..., F, 2] FIRST: on a complex
+            # [B, T, F] input the [..., :max_bin, :] slice would truncate
+            # the TIME axis instead of frequency
+            clean = as_real(clean)[..., :max_bin, :]
+            noise = as_real(noise)[..., :max_bin, :]
         snr = local_snr(clean, noise, window_size=self.ws, db=self.db,
                         window_size_ns=self.ws_ns)[0]
         if self.range is not None:
@@ -154,7 +163,10 @@ def create_comb_filter_matrix(
     for i, f0 in enumerate(range(int(pitch_min), int(pitch_max) + 1)):
         delay = int(sample_rate / f0)
         order = min(int((nfft // 2) / delay), max_order_v)
-        w = np.hanning((order + 1) * 2 + 2)[1:-1][order + 1:]
+        # torch.hann_window(N) is the PERIODIC Hann = np.hanning(N+1)[:-1]
+        # (NOT np.hanning(N+2)[1:-1], which shifts every sample and skews
+        # the normalised weights by up to ~6% at low pitches)
+        w = np.hanning((order + 1) * 2 + 1)[:-1][order + 1:]
         w = w / w.sum()
         for o, wv in enumerate(w):
             cf[i, (nfft // 2) - o * delay] = wv
@@ -165,7 +177,7 @@ def create_comb_filter_matrix(
         return cf.astype(np.float32)
     # magnitude response via STFT of the impulse responses
     x = cf[:, :-1]
-    win = np.hanning(nfft + 2)[1:-1]
+    win = np.hanning(nfft + 1)[:-1]          # periodic (torch.hann_window)
     spec = np.fft.rfft(x * win, n=nfft, axis=-1)
     mag = np.abs(spec)
     mn = mag.min(axis=1, keepdims=True)

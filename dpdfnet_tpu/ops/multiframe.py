@@ -60,7 +60,9 @@ def psd(x: Array, n: int) -> Array:
     """Correlation matrices over an n-frame causal unfold.
 
     x: [B, T, F, 2] -> Rxx [B, T, F, N, N, 2] with
-    Rxx[m, k] = x_m * conj(x_k) summed outer product per frame window.
+    Rxx[m, n] = x_n * conj(x_m) — the per-frame outer product (no
+    summation), matching the reference's einsum
+    (`/root/reference/model/multiframe.py` psd).
     """
     xu = _c(spec_unfold(x, n, lookahead=0))             # [B,T,N,F]
     xu = jnp.moveaxis(xu, 2, -1)                        # [B,T,F,N]

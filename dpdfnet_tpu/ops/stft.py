@@ -27,10 +27,6 @@ import numpy as np
 Array = jax.Array
 
 
-def num_frames_center(n_samples: int, hop: int) -> int:
-    return n_samples // hop + 1
-
-
 def frame_signal(x: Array, win: int, hop: int, *, center: bool) -> Array:
     """Slice ``x: [B, S]`` into overlapping frames ``[B, T, win]``."""
     if center:

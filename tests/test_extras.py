@@ -292,3 +292,37 @@ def test_full_forward_group_gru_chunk_invariance():
         outs.append(np.asarray(o))
     np.testing.assert_allclose(
         np.concatenate(outs, axis=1), np.asarray(out), atol=1e-5)
+
+
+def test_comb_filter_matrix_matches_reference_multi_order():
+    """Pitches low enough for order >= 1: the periodic-Hann weight recipe
+    only differs from the (previously wrong) symmetric one when more than
+    one tap survives normalisation (regression: maxdiff was 0.057 here)."""
+    if not reference_available():
+        pytest.skip("reference not available")
+    add_reference_paths()
+    import importlib
+
+    ref_utils = importlib.import_module("model.utils")
+    kw = dict(pitch_min=65, pitch_max=120, nfft=512, sample_rate=16000)
+    # time domain only: the reference's own freq path calls torch.stft
+    # without return_complex and raises on torch >= 2 (its freq output
+    # has no runnable ground truth here)
+    ref = ref_utils.create_comb_filter_matrix(
+        output_domain="time", **kw).numpy()
+    got = extras.create_comb_filter_matrix(output_domain="time", **kw)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_angle_grad_matches_native_convention():
+    """jax.grad through the robustified angle must equal the native
+    arctan2 gradient away from zero magnitude (regression: the backward
+    copied torch's OPPOSITE complex-cotangent convention, flipping the
+    imaginary part's sign)."""
+    z = jax.lax.complex(jnp.asarray([1.0, -0.3, 2.0]),
+                        jnp.asarray([2.0, 0.7, -1.5]))
+    g_ours = jax.grad(lambda v: jnp.sum(extras.angle(v)))(z)
+    g_native = jax.grad(
+        lambda v: jnp.sum(jnp.arctan2(v.imag, v.real)))(z)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_native),
+                               atol=1e-6)
