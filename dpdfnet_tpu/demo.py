@@ -94,11 +94,28 @@ def _run_file(se, sr, chunk, mix, input_path: Path,
     agc = OutputAGC()
     ema_ms = None
     outs = []
-    # delay the noisy branch by one window + model delay so the mix is
-    # time-aligned with the enhanced output (window + 4 hops)
-    align = se._win_len + 4 * se._hop_size
+    # Delay the noisy branch by the model's in-line processing delay so
+    # the mix is time-aligned with the enhanced output.  Streaming output
+    # sample i is the enhanced input sample i - 4*hop (2-frame lookahead
+    # + 2-frame DF delay; pinned by
+    # tests/test_stream.py::test_offline_engine_matches_streaming_math) —
+    # the one-window ANALYSIS latency only delays when samples emerge,
+    # not their position in the output timeline, so it must not be added.
+    align = 4 * se._hop_size
     noisy_delayed = np.concatenate([np.zeros(align, np.float32), x])
     consumed = 0
+
+    def emit(enhanced):
+        nonlocal consumed
+        if not enhanced.size:
+            return
+        nz = noisy_delayed[consumed: consumed + enhanced.size]
+        nz = np.pad(nz, (0, enhanced.size - nz.size))
+        consumed += enhanced.size
+        if viz is not None:
+            viz.feed(nz, enhanced)
+        outs.append(agc(_mix(nz, enhanced, mix)))
+
     t_start = time.perf_counter()
     for pos in range(0, len(x), chunk):
         t0 = time.perf_counter()
@@ -106,20 +123,16 @@ def _run_file(se, sr, chunk, mix, input_path: Path,
         dt_ms = (time.perf_counter() - t0) * 1e3
         ema_ms = dt_ms if ema_ms is None else (
             _EMA_ALPHA * ema_ms + (1 - _EMA_ALPHA) * dt_ms)
-        if enhanced.size:
-            nz = noisy_delayed[consumed: consumed + enhanced.size]
-            consumed += enhanced.size
-            if viz is not None:
-                viz.feed(nz, enhanced)
-            outs.append(agc(_mix(nz, enhanced, mix)))
-    outs.append(se.flush())
+        emit(enhanced)
+    emit(se.flush())          # the tail gets the same mix/AGC/viz path
     wall = time.perf_counter() - t_start
     y = np.concatenate([o for o in outs if o.size]) if outs else np.zeros(0)
 
     audio_s = len(x) / sr
+    ema_txt = "n/a" if ema_ms is None else f"{ema_ms:.2f} ms"
     print(f"streamed {audio_s:.2f}s in {wall:.2f}s "
           f"(RTF {audio_s / max(wall, 1e-9):.1f}x, "
-          f"avg chunk inference {ema_ms:.2f} ms, "
+          f"avg chunk inference {ema_txt}, "
           f"budget {1000.0 * chunk / sr:.1f} ms/chunk)")
     if output_path is not None:
         write_wav(output_path, pcm16_safe(y), sr)

@@ -217,9 +217,13 @@ def load_audio_mono_16k(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
     from .audio_io import read_audio
 
     data, sr = read_audio(path)
-    data = _to_mono_f(data)
-    if np.issubdtype(data.dtype, np.integer):
-        data = data.astype(np.float32) / np.iinfo(data.dtype).max
+    arr = np.asarray(data)
+    if np.issubdtype(arr.dtype, np.integer):
+        # integer rescale must run BEFORE the float cast in _to_mono_f
+        # (read_audio always returns float32 today; this guards any
+        # future raw-PCM path from being flattened by the clip below)
+        arr = arr.astype(np.float32) / np.iinfo(arr.dtype).max
+    data = _to_mono_f(arr)
     data = np.clip(data, -1.0, 1.0)
     if sr != target_sr:
         data = resample(data, sr, target_sr)

@@ -77,32 +77,40 @@ def load() -> Optional[ctypes.CDLL]:
             continue
         try:
             lib = ctypes.CDLL(str(path))
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # unloadable, or a stale build missing a symbol: degrade to
+            # the NumPy fallbacks rather than breaking all audio IO
             continue
-        lib.dpdfnet_resample_out_len.restype = ctypes.c_int64
-        lib.dpdfnet_resample_out_len.argtypes = [
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int]
-        lib.dpdfnet_resample.restype = ctypes.c_int64
-        lib.dpdfnet_resample.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
-        lib.dpdfnet_ola_commit.restype = None
-        lib.dpdfnet_ola_commit.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
-        lib.dpdfnet_wav_info.restype = ctypes.c_int
-        lib.dpdfnet_wav_info.argtypes = [ctypes.c_char_p,
-                                         ctypes.POINTER(_WavInfo)]
-        lib.dpdfnet_wav_read.restype = ctypes.c_int
-        lib.dpdfnet_wav_read.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
-        lib.dpdfnet_wav_write.restype = ctypes.c_int
-        lib.dpdfnet_wav_write.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32]
         _LIB = lib
         break
     return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare every entry point's signature (raises AttributeError on a
+    stale build missing a symbol — caught by load())."""
+    lib.dpdfnet_resample_out_len.restype = ctypes.c_int64
+    lib.dpdfnet_resample_out_len.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.dpdfnet_resample.restype = ctypes.c_int64
+    lib.dpdfnet_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.dpdfnet_ola_commit.restype = None
+    lib.dpdfnet_ola_commit.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.dpdfnet_wav_info.restype = ctypes.c_int
+    lib.dpdfnet_wav_info.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(_WavInfo)]
+    lib.dpdfnet_wav_read.restype = ctypes.c_int
+    lib.dpdfnet_wav_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.dpdfnet_wav_write.restype = ctypes.c_int
+    lib.dpdfnet_wav_write.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32]
 
 
 def available() -> bool:

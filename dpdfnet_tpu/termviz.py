@@ -109,8 +109,13 @@ class TerminalSpectrogram:
             print(self.header(), file=self._out)
             self._header_done = True
         printed = 0
-        while (self._buf[0].shape[0] >= self.n_fft
-               and self._buf[1].shape[0] >= self.n_fft):
+        # require max(n_fft, hop) buffered so the hop-advance below always
+        # consumes a FULL hop: with hop > n_fft, advancing a shorter buffer
+        # would silently drop the deficit and the line rate would depend on
+        # the caller's feed chunk size instead of being one line per hop
+        need = max(self.n_fft, self.hop)
+        while (self._buf[0].shape[0] >= need
+               and self._buf[1].shape[0] >= need):
             line = self.render_line(self._buf[0][: self.n_fft],
                                     self._buf[1][: self.n_fft])
             print(line, file=self._out)

@@ -111,9 +111,13 @@ def enhancement_loss(
     spec_c = stft_ops.stft(clean_wav, window, cfg.hop, center=True) * cfg.wnorm
     st = state_lib.init_state(cfg, batch=noisy_wav.shape[0])
     out, _, lsnr = forward_spec(params, cfg, spec_n, st)
-    # the model output at frame t is the enhanced frame t-2: align the target
-    la = cfg.lookahead
-    out_al = out[:, la:]
+    # The model output at frame t is the enhanced INPUT frame t-4: the
+    # 2-frame lookahead delay plus the deep filter's 2-frame coefficient
+    # delay (same 4-frame total the offline path trims as 2*win_len and
+    # audio.ATTN_LIMIT_NOISY_FRAME_OFFSET encodes).  Aligning with only
+    # the lookahead would train the DF stage as a 2-frame-ahead predictor.
+    delay = cfg.lookahead + 2
+    out_al = out[:, delay:]
     tgt = spec_c[:, : out_al.shape[1]]
     l_spec = spectral_loss(out_al, tgt)
     l_lsnr = lsnr_loss(lsnr, spec_c, spec_n - spec_c, cfg)
@@ -150,6 +154,10 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None):
                 enhancement_loss, has_aux=True)(params, cfg, noisy, clean)
         grads = _freeze_buffers(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        # Freeze the UPDATES too: decoupled weight decay (optax.adamw)
+        # contributes -lr*wd*params to the update regardless of the zeroed
+        # gradient, which would still shrink the constant filterbanks.
+        updates = _freeze_buffers(updates)
         import optax
 
         params = optax.apply_updates(params, updates)

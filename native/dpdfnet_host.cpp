@@ -161,10 +161,12 @@ int dpdfnet_wav_info(const char* path, WavInfo* info) {
   uint32_t rate = 0;
   while (read_chunk_header(f, id, &size)) {
     if (std::memcmp(id, "fmt ", 4) == 0) {
-      uint8_t buf[40];
+      uint8_t buf[40] = {0};  // zero-init: a short fmt chunk must not
+                              // leave rate/bits as uninitialized stack
       uint32_t take = size < sizeof(buf) ? size : sizeof(buf);
       if (std::fread(buf, 1, take, f) != take) break;
       if (size > take) std::fseek(f, size - take, SEEK_CUR);
+      if (take < 16) break;   // malformed: fmt needs >= 16 bytes
       std::memcpy(&fmt, buf, 2);
       std::memcpy(&channels, buf + 2, 2);
       std::memcpy(&rate, buf + 4, 4);
@@ -179,7 +181,10 @@ int dpdfnet_wav_info(const char* path, WavInfo* info) {
     }
   }
   std::fclose(f);
-  if (!have_fmt || data_bytes < 0 || channels == 0 || bits == 0) return -3;
+  if (!have_fmt || data_bytes < 0 || channels == 0 || bits < 8) return -3;
+  // bits < 8 (e.g. 4-bit IMA-ADPCM) would make bits/8 == 0 below - the
+  // Python decoders handle those formats; report unsupported instead of
+  // dividing by zero.
   info->sample_rate = static_cast<int32_t>(rate);
   info->channels = channels;
   info->bits = bits;
