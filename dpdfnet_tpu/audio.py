@@ -43,10 +43,14 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
     import os
 
-    if os.environ.get("DPDFNET_TPU_RESAMPLER") == "native":
+    x32 = np.asarray(audio, np.float32)
+    if os.environ.get("DPDFNET_TPU_RESAMPLER") == "native" and x32.ndim == 1:
+        # the native resampler is mono-only (it would read a 2-D buffer as
+        # interleaved mono garbage); multi-channel falls through to scipy,
+        # which resamples along axis 0
         from . import native
 
-        y = native.resample(np.asarray(audio, np.float32), up, down)
+        y = native.resample(x32, up, down)
         if y is not None:
             return y
     from scipy.signal import resample_poly

@@ -74,8 +74,11 @@ class ModelConfig:
 
     @property
     def wnorm(self) -> float:
-        # `get_wnorm` (/root/reference/model/utils.py:164-167)
-        return 1.0 / (self.win_len ** 2 / (2.0 * self.hop))
+        # single source of truth: ops.windows.get_wnorm
+        # (/root/reference/model/utils.py:164-167)
+        from .ops.windows import get_wnorm
+
+        return get_wnorm(self.win_len, self.hop)
 
     @property
     def erb_in_bins(self) -> int:

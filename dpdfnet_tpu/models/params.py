@@ -180,8 +180,15 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
 
 
 def count_params(params: Params) -> int:
-    leaves = jax.tree_util.tree_leaves(params)
-    return int(sum(np.prod(l.shape) for l in leaves))
+    """Learned-parameter count (excludes the fixed ERB filterbank
+    constants, matching the reference README's figures)."""
+    total = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if any(k in ("erb_fb", "erb_inv_fb") for k in keys):
+            continue
+        total += int(np.prod(leaf.shape))
+    return total
 
 
 def contract_params(params: Params, factor: float = 0.7) -> Params:

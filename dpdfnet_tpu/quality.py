@@ -19,17 +19,32 @@ import numpy as np
 from .audio import ensure_sample_rate, to_mono
 
 
+_ONNX_SESSIONS: dict = {}
+
+
+def _onnx_session(onnx_path: str):
+    """Build (and cache) one CPU InferenceSession per artifact: graph load
+    + optimisation costs seconds and validate_vs_onnx calls per corpus
+    row (the reference builds its runtime once, onnx_backend.py)."""
+    sess = _ONNX_SESSIONS.get(onnx_path)
+    if sess is None:
+        import onnxruntime as ort
+
+        sess = ort.InferenceSession(
+            onnx_path, providers=["CPUExecutionProvider"])
+        _ONNX_SESSIONS[onnx_path] = sess
+    return sess
+
+
 def enhance_reference_onnx(audio: np.ndarray, sr: int, onnx_path: str,
                            model_sr: int) -> np.ndarray:
     """Run the reference's exported ONNX streaming graph through its own
     offline pipeline conventions (center=True reflect STFT, per-frame
     session calls, COLA ISTFT, 2*win_len shift —
     `/root/reference/package/src/dpdfnet/api.py:51-113`)."""
-    import onnxruntime as ort
-
     from .audio import fit_length, make_stft_config
 
-    sess = ort.InferenceSession(onnx_path, providers=["CPUExecutionProvider"])
+    sess = _onnx_session(onnx_path)
     meta = sess.get_modelmeta().custom_metadata_map
     state = np.zeros(int(meta["state_size"]), np.float32)
     e = int(meta["erb_norm_state_size"])
@@ -38,7 +53,14 @@ def enhance_reference_onnx(audio: np.ndarray, sr: int, onnx_path: str,
     state[e:e + s] = [float(v) for v in meta["spec_norm_init"].split(",")]
 
     x = ensure_sample_rate(to_mono(audio), sr, model_sr)
-    cfg = make_stft_config(int(round(model_sr * 0.02)))
+    # frame size from the graph itself when concrete (the reference's
+    # infer_win_len: F bins -> (F-1)*2 samples); 20 ms of model_sr is the
+    # family default, used only when the freq axis is dynamic
+    win_len = int(round(model_sr * 0.02))
+    in0 = sess.get_inputs()[0].shape
+    if len(in0) >= 2 and isinstance(in0[-2], int) and in0[-2] > 1:
+        win_len = (int(in0[-2]) - 1) * 2
+    cfg = make_stft_config(win_len)
     xp = np.pad(x, (0, cfg.win_len))
     pad = cfg.win_len // 2
     xr = np.pad(xp, (pad, pad), mode="reflect")
@@ -118,7 +140,11 @@ def validate_vs_onnx(
             rec[f"stoi_{tag}"] = metrics.stoi(c_al, x_al, 16000)
             try:
                 rec[f"pesq_{tag}"] = metrics.wb_pesq(c_al, x_al, 16000)
-            except ImportError:
+            except Exception:  # noqa: BLE001
+                # missing package OR a per-clip pesq error (e.g.
+                # NoUtterancesError on near-silent audio): record NaN —
+                # the NaN gate below turns an all-NaN column into a loud
+                # FAIL rather than aborting the whole eval mid-corpus
                 rec[f"pesq_{tag}"] = float("nan")
         rows.append(rec)
 
@@ -129,17 +155,25 @@ def validate_vs_onnx(
             w.writerows(rows)
 
     deltas = {}
+    import warnings
+
     for m in ("pesq", "stoi", "sisnr"):
-        ours_m = float(np.mean([r[f"{m}_tpu"] for r in rows]))
-        ref_m = float(np.mean([r[f"{m}_onnx"] for r in rows]))
+        # nanmean: a per-clip pesq failure (near-silent audio) contributes
+        # NaN for BOTH systems on that row and drops out of the average
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ours_m = float(np.nanmean([r[f"{m}_tpu"] for r in rows]))
+            ref_m = float(np.nanmean([r[f"{m}_onnx"] for r in rows]))
         deltas[m] = ours_m - ref_m
         print(f"{m}: tpu {ours_m:.4f}  onnx {ref_m:.4f}  "
               f"delta {deltas[m]:+.4f}")
     if np.isnan(deltas["pesq"]):
-        # The gate IS the PESQ delta — a missing `pesq` package must fail
-        # loudly, not report PASS without ever measuring it.
-        print("FAIL: PESQ unavailable (install the ITU 'pesq' package) — "
-              "the PESQ gate cannot be evaluated")
+        # The gate IS the PESQ delta — if NO row produced a PESQ score
+        # (package missing, or every clip rejected) fail loudly rather
+        # than report PASS without ever measuring it.
+        print("FAIL: PESQ unavailable (install the ITU 'pesq' package, or "
+              "every clip was rejected by it) — the PESQ gate cannot be "
+              "evaluated")
         return 1
     if abs(deltas["pesq"]) > pesq_tolerance:
         print(f"FAIL: |PESQ delta| {abs(deltas['pesq']):.4f} > "

@@ -29,7 +29,14 @@ def enable(path: str | None = None) -> str | None:
     if env in ("0", "false", "False", "off"):
         return None
     if _done:
-        return _cache_dir(path, env)
+        # report the directory ACTUALLY configured on the first call (it
+        # may be a host-app cache we respected, not our candidate path)
+        try:
+            import jax
+
+            return jax.config.jax_compilation_cache_dir
+        except Exception:
+            return _cache_dir(path, env)
     target = _cache_dir(path, env)
     try:
         import jax

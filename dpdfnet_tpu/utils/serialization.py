@@ -1,9 +1,12 @@
 """Parameter pytree <-> .npz serialisation.
 
 Nested dicts/lists of arrays are stored flat with '/'-joined key paths
-(list indices as decimal segments).  ``None`` leaves (absent optional
+(list indices as decimal segments).  ``None`` dict values (absent optional
 biases) are skipped on save and simply absent on load — layer code treats
-missing optional keys as None.
+missing optional keys as None.  ``None`` LIST entries are saved as explicit
+markers ('NNNN#none'): positional lists must round-trip at full length
+(a silently shortened trailing-None list would desynchronise e.g. a GRU
+layer list from its per-layer state).
 """
 
 from __future__ import annotations
@@ -21,7 +24,10 @@ def _flatten(tree, prefix: str, out: Dict[str, np.ndarray]) -> None:
             _flatten(v, f"{prefix}{k}/", out)
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
-            _flatten(v, f"{prefix}{i:04d}#/", out)
+            if v is None:
+                out[f"{prefix}{i:04d}#none"] = np.zeros(0, np.int8)
+            else:
+                _flatten(v, f"{prefix}{i:04d}#/", out)
     else:
         out[prefix[:-1]] = np.asarray(tree)
 
@@ -42,6 +48,12 @@ def load_params(path) -> Dict:
         node: Union[Dict, list] = root
         for i, part in enumerate(parts):
             is_leaf = i == len(parts) - 1
+            if is_leaf and part.endswith("#none"):
+                # explicit None list entry: extend to the index, keep None
+                k = int(part[: -len("#none")])
+                while len(node) <= k:
+                    node.append(None)
+                break
             is_index = part.endswith("#")
             k = int(part[:-1]) if is_index else part
             if is_leaf:
