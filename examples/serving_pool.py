@@ -23,6 +23,15 @@ def main() -> int:
     ap.add_argument("--streams", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--random-weights", action="store_true", default=True)
+    ap.add_argument("--mode", default="exact",
+                    choices=["exact", "throughput"],
+                    help="'exact' = bit-invariant per-frame program; "
+                         "'throughput' = time-vectorised (pair with "
+                         "--hops-per-call > 1 for peak streams/chip)")
+    ap.add_argument("--hops-per-call", type=int, default=1, metavar="H",
+                    help="hops of audio buffered per process_many call "
+                         "(adds H x 10 ms latency; the throughput mode's "
+                         "capacity lever)")
     args = ap.parse_args()
 
     from dpdfnet_tpu.config import get_config
@@ -32,17 +41,19 @@ def main() -> int:
 
     cfg = get_config(args.model)
     engine = Engine(cfg, init_params(cfg, seed=0))
-    pool = MultiStreamEnhancer(capacity=args.streams, engine=engine)
+    pool = MultiStreamEnhancer(capacity=args.streams, engine=engine,
+                               mode=args.mode)
     sids = [pool.open() for _ in range(args.streams)]
 
     sr, hop = cfg.sample_rate, cfg.hop
+    h = max(1, args.hops_per_call)
     rng = np.random.default_rng(0)
-    n_hops = int(args.seconds * sr / hop)
-    budget_ms = 1000.0 * hop / sr
+    n_hops = int(args.seconds * sr / hop) // h
+    budget_ms = 1000.0 * hop * h / sr
 
     lat = []
     for k in range(n_hops):
-        chunks = {sid: (0.1 * rng.normal(size=hop)).astype(np.float32)
+        chunks = {sid: (0.1 * rng.normal(size=hop * h)).astype(np.float32)
                   for sid in sids}
         t0 = time.perf_counter()
         outs = pool.process_many(chunks)
