@@ -119,3 +119,43 @@ def test_pool_close_frees_slot(engine):
     assert sid2 == sid
     with pytest.raises(ValueError):
         pool.process(99, np.zeros(10, np.float32))
+
+
+def test_process_many_order_insensitive_identity(engine):
+    """A full pool fed in any dict order must match slot-order feeding
+    (the zero-copy identity fast path sorts slots; outputs are
+    slot-deterministic either way)."""
+    hop = engine.cfg.hop
+    xs = {i: _sig(10 + i, 4 * hop) for i in range(3)}
+
+    pool_a = MultiStreamEnhancer(capacity=3, engine=engine)
+    for _ in range(3):
+        pool_a.open()
+    out_a = pool_a.process_many({i: xs[i] for i in (0, 1, 2)})
+
+    pool_b = MultiStreamEnhancer(capacity=3, engine=engine)
+    for _ in range(3):
+        pool_b.open()
+    out_b = pool_b.process_many({i: xs[i] for i in (2, 0, 1)})
+
+    for i in range(3):
+        np.testing.assert_array_equal(out_a[i], out_b[i])
+
+
+def test_process_many_invalid_sid_is_atomic(engine):
+    """A bad sid anywhere in the dict must leave every stream's buffer
+    untouched, so the caller can retry the corrected dict without
+    duplicating audio in live streams."""
+    hop = engine.cfg.hop
+    pool = MultiStreamEnhancer(capacity=2, engine=engine)
+    sid = pool.open()
+    x = _sig(30, 6 * hop)
+
+    ref_pool = MultiStreamEnhancer(capacity=2, engine=engine)
+    ref_sid = ref_pool.open()
+    ref = ref_pool.process(ref_sid, x)
+
+    with pytest.raises(ValueError):
+        pool.process_many({sid: x, 99: x})       # 99 was never opened
+    got = pool.process(sid, x)                   # retry: must not duplicate
+    np.testing.assert_array_equal(got, ref)
