@@ -21,11 +21,6 @@ from dpdfnet_tpu.runtime.bench import run_bench  # noqa: E402
 
 def main() -> int:
     model = os.environ.get("BENCH_MODEL", "dpdfnet8_48khz_hr")
-    # b384 x 10 s is the measured turbo-tier throughput sweet spot on one
-    # v5e (2156 xRT at seg 112 / intra tile 512, vs 2062 b256, 1809 b320,
-    # 2087 b512, 1634 b448; reproducible to +-0.1%).  The f32-activation
-    # tiers peak at b256 (1876; b320 drops to 1211 = HBM pressure).
-    batch = int(os.environ.get("BENCH_BATCH", "384"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     # BENCH_PRECISION takes a quality-tier name (highest/high/fast/turbo,
@@ -33,9 +28,18 @@ def main() -> int:
     # headline is the 'turbo' throughput tier (bf16 activations, bf16 MXU
     # dots): measured waveform deviation on contractive trained-like
     # weights is ~2e-4 peak / -61 dB — the same envelope as the
-    # f32-activation 'fast' tier (see docs/performance.md); the API
-    # default for enhance() remains the f32-grade 'high' tier.
+    # f32-activation 'fast' tier (see the tier table in
+    # docs/performance.md; BASELINE.md's PESQ half of the target needs
+    # real checkpoints and is gated separately by `eval --vs-onnx`).
+    # The API default for enhance() remains the f32-grade 'high' tier.
     tier = os.environ.get("BENCH_PRECISION", "turbo")
+    # Measured throughput sweet spots on one v5e: b384 x 10 s for the
+    # bf16-activation turbo tier (2149 xRT at seg 112 / intra tile 512,
+    # vs 2062 b256 / 1809 b320 / 2087 b512 / 1634 b448); the f32-
+    # activation tiers peak at b256 (1876; b320 drops to 1211 = HBM
+    # pressure, larger OOMs) — so the default batch follows the tier.
+    batch = int(os.environ.get(
+        "BENCH_BATCH", "384" if tier == "turbo" else "256"))
     # run_bench resolves quality-tier names (QUALITY_TIERS) itself.
     print(run_bench(model=model, batch=batch, seconds=seconds, reps=reps,
                     random_weights=True, precision=tier))

@@ -228,6 +228,7 @@ def run_bench(
     baseline_xrt: float = 500.0,
     compute_dtype=None,
     label: str | None = None,
+    seg_frames: int | None = None,
 ) -> str:
     """Returns one JSON line: {"metric", "value", "unit", "vs_baseline"}."""
     import jax
@@ -256,6 +257,8 @@ def run_bench(
     kwargs = {}
     if compute_dtype is not None:
         kwargs["compute_dtype"] = compute_dtype
+    if seg_frames is not None:
+        kwargs["seg_frames"] = int(seg_frames)
     engine = Engine(cfg, params, precision=precision, **kwargs)
     S = int(seconds * cfg.sample_rate)
     rng = np.random.default_rng(0)

@@ -69,11 +69,19 @@ def main() -> int:
     # prefer total-time-us, then fall back through time-ish columns
     i_time = col("total time (us)", "total time", "avg. time", "self",
                  "occurrences")
+    if i_time is not None and "total" not in str(cols[i_time]).lower():
+        print(f"WARNING: no total-time column; aggregating {cols[i_time]!r} "
+              "— sums of averages/counts are NOT device time",
+              file=sys.stderr)
     if i_time is None:
         print(f"no usable time column in {cols}", file=sys.stderr)
         print(json.dumps(obj)[:4000])
         return 1
 
+    if args.by == "category" and i_cat is None:
+        print("WARNING: no category column in this table — grouping by op "
+              "name instead", file=sys.stderr)
+        args.by = "op"
     key_i = i_cat if (args.by == "category" and i_cat is not None) else i_name
     agg = {}
     for r in rows:

@@ -8,9 +8,10 @@ Measures each speed tier's output deviation against the 6-pass-f32
     trained checkpoints, whose dynamics are stable and non-amplifying;
   - raw random weights: the adversarial worst case.
 
-Run on the target hardware (tiers only differ on TPU; on CPU every tier
-computes f32 and deviations collapse to ~1e-7, which this script reports as
-such).  Results are committed to docs/performance.md.
+Run on the target hardware.  On CPU the matmul-precision tiers (high/fast)
+collapse to f32 (~1e-7 deviations), but 'turbo' casts activations to bf16
+on EVERY backend, so its CPU deviation stays ~1e-3 — only the bf16-dot
+component is TPU-specific.  Results are committed to docs/performance.md.
 
 Usage:
   python tools/tier_accuracy.py [--model dpdfnet8_48khz_hr] [--seconds 4]
