@@ -105,3 +105,35 @@ def test_sharded_stream_state_carry(setup):
     assert bool(jnp.isfinite(o2).all())
     # state actually evolved
     assert float(jnp.abs(o2 - o1).max()) > 0
+
+
+def test_mesh_engine_turbo_tier_matches_single_device(setup):
+    """The bf16-activation turbo tier must shard identically: bf16 state
+    placement, bf16 plane kernels (XLA path on CPU), per-shard programs
+    equal to the single-device ones."""
+    from dpdfnet_tpu.runtime.engine import engine_from_quality
+
+    cfg, params, mesh = setup
+    B, S = 8, cfg.hop * 8
+    rng = np.random.default_rng(9)
+    wav = (0.1 * rng.normal(size=(B, S))).astype(np.float32)
+
+    eng1 = engine_from_quality(cfg, params, quality="turbo",
+                               bucket_s=S / cfg.sample_rate)
+    engm = engine_from_quality(cfg, params, quality="turbo", mesh=mesh,
+                               bucket_s=S / cfg.sample_rate)
+    ref = eng1.enhance_waveforms(wav)
+    got = engm.enhance_waveforms(wav)
+    # bf16-scale tolerance: per-shard batch is 1 vs 8, so XLA tiles the
+    # dots differently and the f32 accumulation-order noise is amplified
+    # by the bf16 activation rounding (~1e-4 abs at these levels).  The
+    # f32 tiers compare at 1e-5 in the sibling test.
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    # streaming with carried bf16 state on the mesh
+    frames = (0.05 * rng.normal(size=(8, 2, cfg.win_len))).astype(np.float32)
+    st1 = eng1.init_stream_state(batch=8)
+    stm = engm.init_stream_state(batch=8)
+    y1, _ = eng1.process_frames(frames, st1)
+    ym, _ = engm.process_frames(frames, stm)
+    np.testing.assert_allclose(ym, y1, atol=1e-3)
