@@ -55,6 +55,18 @@ class ModelConfig:
     # `group_gru` only *selects* GroupedGRU, whose group count stays at its
     # own default of 4 (model/modules.py:1061-1062 with :1186 groups=4).
     group_gru: int = 1
+    # Inference-only Valin perceptual post-filter on the ERB gain mask
+    # (reference Mask.pf, model/modules.py:415-426).  Off in every shipped
+    # checkpoint; 16 kHz (ERB-mask) configs only — the HR models multiply a
+    # per-bin mask directly and have no Mask module to host it.
+    post_filter: bool = False
+
+    def __post_init__(self) -> None:
+        if self.post_filter and self.hr:
+            raise ValueError(
+                "post_filter applies to the ERB gain mask; 48 kHz HR "
+                "configs use a per-bin magnitude mask with no post-filter "
+                "analogue in the reference.")
 
     # ------------------------------------------------------------------ #
     # Derived shapes

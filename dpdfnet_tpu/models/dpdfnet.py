@@ -497,9 +497,36 @@ def _apply_df(cfg: ModelConfig, dfin: Array, coefs: Array, state: State):
     return lower, middle, updates
 
 
+def valin_post_filter(mask: Array, beta: float = 0.02,
+                      eps: float = 1e-12) -> Array:
+    """Valin et al. perceptual post-filter on a real gain mask.
+
+    ``g' = (1+beta)*g / (1 + beta*(g / (g*sin(pi*g/2)))^2)`` — slightly
+    deepens mid-range attenuation while leaving g≈0 and g≈1 fixed points.
+    Mirrors the reference ``Mask.pf`` (model/modules.py:415-426), which is
+    inference-only and off in every shipped checkpoint.
+    """
+    mask_sin = mask * jnp.sin(jnp.pi * mask / 2)
+    ratio = mask / jnp.maximum(mask_sin, eps)
+    return (1 + beta) * mask / (1 + beta * ratio * ratio)
+
+
+def clamp_mask_atten_lim(mask: Array, atten_lim_db: Array) -> Array:
+    """Floor the gain mask at ``10^(-atten_lim_db/20)`` per utterance.
+
+    ``atten_lim_db`` is ``[B]`` (dB of maximum attenuation); mask is
+    ``[B, T, Fe]``.  Mirrors the reference ``Mask.forward``'s clamp
+    (model/modules.py:433-445) — note this is the *model-level* mask floor,
+    distinct from the package-level 4-frame noisy/enhanced spectral blend
+    (``audio.apply_attn_limit``).
+    """
+    floor = 10.0 ** (-atten_lim_db.astype(mask.dtype) / 20.0)
+    return jnp.maximum(mask, floor[:, None, None])
+
+
 def _mask_and_df(
     params: Params, cfg: ModelConfig, spec: Array, m: Array, coefs: Array,
-    state: State,
+    state: State, atten_lim_db: Optional[Array] = None,
 ) -> Tuple[Array, State]:
     """Gain-mask + deep-filter combination per ``cfg.mask_method``
     (onnx_model/dpdfnet.py:783-800; shipped checkpoints use 'before_df')."""
@@ -507,8 +534,16 @@ def _mask_and_df(
     nb = cfg.nb_df
 
     if cfg.hr:
+        # The reference HR models multiply the per-bin mask directly and
+        # never instantiate the ERB ``Mask`` module, so the post-filter /
+        # atten-lim options have no HR analogue (model/dpdfnet_48khz_hr.py:
+        # 584-593).  ``config.py`` rejects post_filter on HR configs.
         mask = m                                                  # per-bin
     else:
+        if cfg.post_filter:
+            m = valin_post_filter(m)
+        if atten_lim_db is not None:
+            m = clamp_mask_atten_lim(m, jnp.asarray(atten_lim_db))
         mask = m @ params["erb_inv_fb"].astype(m.dtype)           # [B,T,F]
 
     def delayed_masked(x):
@@ -544,12 +579,16 @@ def _mask_and_df(
 # --------------------------------------------------------------------------- #
 
 def forward_spec(
-    params: Params, cfg: ModelConfig, spec: Array, state: State
+    params: Params, cfg: ModelConfig, spec: Array, state: State,
+    *, atten_lim_db: Optional[Array] = None,
 ) -> Tuple[Array, State, Array]:
     """Enhance ``spec: [B, T, F, 2]`` (wnorm-scaled STFT frames).
 
     Returns (spec_e [B,T,F,2], new_state, lsnr [B,T]).  Output frame ``t``
     is the enhanced input frame ``t-2`` (2-frame lookahead delay).
+    ``atten_lim_db`` ([B], optional, 16 kHz configs only) floors the ERB
+    gain mask at ``10^(-dB/20)`` per utterance before it is expanded to
+    bins — the reference ``Mask``'s atten_lim semantics.
     """
     feat_erb, feat_spec, mu_last, s_last = _features(params, cfg, spec, state)
     (e0, e1, e2, e3), emb, c0, lsnr, enc_up = _encoder(
@@ -558,7 +597,8 @@ def forward_spec(
     m, new_erb_dec = _erb_decoder(params, cfg, emb, e0, e1, e2, e3,
                                   state["erb_dec_gru"])
     coefs, df_up = _df_decoder(params, cfg, emb, c0, state)
-    spec_e, mask_up = _mask_and_df(params, cfg, spec, m, coefs, state)
+    spec_e, mask_up = _mask_and_df(params, cfg, spec, m, coefs, state,
+                                   atten_lim_db=atten_lim_db)
 
     new_state = dict(state)
     new_state["erb_norm"] = mu_last

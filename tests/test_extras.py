@@ -326,3 +326,99 @@ def test_angle_grad_matches_native_convention():
         lambda v: jnp.sum(jnp.arctan2(v.imag, v.real)))(z)
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_native),
                                atol=1e-6)
+
+
+def _import_reference_mask():
+    """Import the reference offline ``Mask`` (model/modules.py) — it uses
+    flat sibling imports, so the model/ dir itself must be on sys.path."""
+    add_reference_paths()
+    import sys
+
+    p = "/root/reference/model"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    import importlib
+
+    return importlib.import_module("modules").Mask
+
+
+def test_valin_post_filter_matches_reference_pf():
+    """valin_post_filter == reference Mask.pf on random masks in [0, 1]
+    (model/modules.py:415-426)."""
+    if not reference_available():
+        pytest.skip("reference not available")
+    RefMask = _import_reference_mask()
+    from dpdfnet_tpu.models.dpdfnet import valin_post_filter
+
+    rng = np.random.default_rng(7)
+    mask = rng.uniform(0.0, 1.0, size=(2, 1, 9, 32)).astype(np.float32)
+    ref = RefMask(torch.eye(32), post_filter=True)
+    with torch.no_grad():
+        want = ref.pf(torch.from_numpy(mask)).numpy()
+    got = np.asarray(valin_post_filter(jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mask_pf_atten_lim_full_path_matches_reference_forward():
+    """pf + per-utterance atten-lim clamp + ERB expansion + apply, end to
+    end vs the reference Mask.forward in eval mode
+    (model/modules.py:428-449)."""
+    if not reference_available():
+        pytest.skip("reference not available")
+    RefMask = _import_reference_mask()
+    from dpdfnet_tpu.models.dpdfnet import (clamp_mask_atten_lim,
+                                            valin_post_filter)
+
+    rng = np.random.default_rng(11)
+    B, T, F, Fe = 2, 7, 161, 32
+    erb_inv = rng.uniform(size=(Fe, F)).astype(np.float32)
+    mask = rng.uniform(0.0, 1.0, size=(B, 1, T, Fe)).astype(np.float32)
+    spec = rng.normal(size=(B, 1, T, F, 2)).astype(np.float32)
+    atten = np.array([6.0, 40.0], np.float32)
+
+    ref = RefMask(torch.from_numpy(erb_inv), post_filter=True)
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(spec), torch.from_numpy(mask),
+                   atten_lim=torch.from_numpy(atten)).numpy()
+
+    m = valin_post_filter(jnp.asarray(mask[:, 0]))                # [B,T,Fe]
+    m = clamp_mask_atten_lim(m, jnp.asarray(atten))
+    full = m @ jnp.asarray(erb_inv)                               # [B,T,F]
+    got = np.asarray(jnp.asarray(spec[:, 0]) * full[..., None])
+    np.testing.assert_allclose(got, want[:, 0], atol=1e-6)
+
+
+def test_forward_spec_atten_lim_plumbing():
+    """atten_lim_db reaches the mask: a 0 dB floor forces gain 1 (output
+    = DF over the unmasked delayed spec); a 300 dB floor is a no-op."""
+    from dpdfnet_tpu.config import get_config
+    from dpdfnet_tpu.models import state as state_lib
+    from dpdfnet_tpu.models.params import init_params
+    from dpdfnet_tpu.models.dpdfnet import forward_spec
+
+    cfg = get_config("dpdfnet2")
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(5)
+    spec = jnp.asarray(rng.normal(size=(2, 6, cfg.freq_bins, 2))
+                       .astype(np.float32))
+    st = state_lib.init_state(cfg, 2)
+
+    base, _, _ = forward_spec(params, cfg, spec, st)
+    noop, _, _ = forward_spec(params, cfg, spec, st,
+                              atten_lim_db=jnp.full((2,), 300.0))
+    clamped, _, _ = forward_spec(params, cfg, spec, st,
+                                 atten_lim_db=jnp.zeros((2,)))
+    # fusion order may shift once the clamp is in the graph: fp-noise only
+    np.testing.assert_allclose(np.asarray(noop), np.asarray(base), atol=1e-6)
+    assert np.abs(np.asarray(clamped) - np.asarray(base)).max() > 1e-4
+
+
+def test_post_filter_config_rejected_on_hr():
+    from dpdfnet_tpu.config import get_config
+    import dataclasses
+
+    cfg16 = dataclasses.replace(get_config("dpdfnet2"), post_filter=True)
+    assert cfg16.post_filter
+    with pytest.raises(ValueError):
+        dataclasses.replace(get_config("dpdfnet2_48khz_hr"), post_filter=True)
