@@ -21,12 +21,14 @@ ATTN_LIMIT_NOISY_FRAME_OFFSET = 4
 
 
 def to_mono(audio: np.ndarray) -> np.ndarray:
+    """Mix down to mono; accepts [S] or [S, C] (channels last, soundfile
+    convention)."""
     x = np.asarray(audio, dtype=np.float32)
-    if x.ndim == 1:
-        return x
-    if x.ndim != 2:
-        raise ValueError(f"Expected mono/stereo audio, got shape {x.shape}")
-    return np.mean(x, axis=1, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=-1, dtype=np.float32)
+    elif x.ndim != 1:
+        raise ValueError(f"to_mono wants [S] or [S, C] audio, not {x.shape}")
+    return x
 
 
 def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -78,6 +78,18 @@ def _build_parser() -> argparse.ArgumentParser:
     p_dir.add_argument(
         "--batch-size", type=int, default=8, metavar="B",
         help="Utterances per compiled device batch (default: 8).")
+    p_dir.add_argument(
+        "--distributed", action="store_true",
+        help="Multi-host pod-slice mode: bring up jax.distributed (pod "
+             "metadata / JAX_COORDINATOR_ADDRESS env) and process only "
+             "this host's deterministic shard of the file list.")
+    p_dir.add_argument(
+        "--num-hosts", type=int, default=None, metavar="N",
+        help="Manual multi-machine fan-out without jax.distributed: total "
+             "hosts (same file shards as --distributed).")
+    p_dir.add_argument(
+        "--host-id", type=int, default=None, metavar="K",
+        help="This host's index in 0..N-1 for --num-hosts.")
     _add_attn_limit_arg(p_dir)
     _add_quality_arg(p_dir)
     _add_model_resolution_args(p_dir)
@@ -134,13 +146,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench = sub.add_parser("bench", help="Measure offline throughput (xRT).")
     p_bench.add_argument("--model", default="dpdfnet8_48khz_hr",
                          choices=supported_models())
-    # defaults mirror the headline bench (python bench.py): b256, the
-    # 'default' throughput tier — so documented numbers reproduce as-is.
-    # (The enhance API's quality default remains the f32-grade 'high'.)
-    p_bench.add_argument("--batch", type=int, default=256)
+    # defaults mirror the headline bench (python bench.py): the 'turbo'
+    # tier at its per-tier batch sweet spot (384 turbo / 256 otherwise) —
+    # so documented numbers reproduce as-is.  (The enhance API's quality
+    # default remains the f32-grade 'high'.)
+    p_bench.add_argument("--batch", type=int, default=None,
+                         help="Utterance batch (default: per-tier sweet "
+                              "spot — 384 for turbo, 256 otherwise).")
     p_bench.add_argument("--seconds", type=float, default=10.0)
     p_bench.add_argument("--reps", type=int, default=5)
-    p_bench.add_argument("--precision", default="default",
+    p_bench.add_argument("--precision", default="turbo",
                          choices=["default", "high", "highest",
                                   "fast", "turbo"],
                          help="Matmul precision or quality-tier name "
@@ -243,6 +258,25 @@ def _run_enhance_dir(args: argparse.Namespace) -> int:
         raise FileNotFoundError(
             f"No supported audio files found in {input_dir}\n"
             f"Supported extensions: {supported}")
+
+    # Multi-host: keep only this host's deterministic shard of the
+    # (identically sorted) file list.  See parallel/multihost.py for the
+    # pod-slice recipe; the reference's scale-out analogue is its
+    # file-thread pool (package/src/dpdfnet/cli.py:309).
+    if args.distributed or args.num_hosts is not None \
+            or "DPDFNET_TPU_NUM_HOSTS" in os.environ:
+        from .parallel import multihost
+
+        if args.distributed:
+            multihost.initialize()
+        n_all = len(audio_files)
+        audio_files = multihost.shard_files_for_host(
+            audio_files, host_id=args.host_id, num_hosts=args.num_hosts)
+        hid, nh = multihost.host_info(args.host_id, args.num_hosts)
+        print(f"[INFO] host {hid}/{nh}: processing {len(audio_files)} of "
+              f"{n_all} files")
+        if not audio_files:
+            return 0
 
     output_dir.mkdir(parents=True, exist_ok=True)
     B = max(1, args.batch_size)
@@ -363,7 +397,9 @@ def _run_bench(args: argparse.Namespace) -> int:
                 precision=args.precision, mode=args.mode,
                 hops_per_call=0 if hops is None else hops)
         else:
-            result = run_bench(model=args.model, batch=args.batch,
+            batch = args.batch if args.batch is not None else (
+                384 if args.precision == "turbo" else 256)
+            result = run_bench(model=args.model, batch=batch,
                                seconds=args.seconds, reps=args.reps,
                                random_weights=args.random_weights,
                                precision=args.precision)

@@ -45,32 +45,22 @@ def align_by_xcorr_trim(
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Align two 1-D signals by FFT cross-correlation; returns trimmed
     (a_aligned, b_aligned, lag) with lag > 0 meaning 'a' lags 'b'."""
-    from scipy.signal import correlate, correlation_lags
+    from scipy.signal import correlate
 
-    if len(a) >= len(b):
-        long_sig, short_sig, long_is_a = a, b, True
-    else:
-        long_sig, short_sig, long_is_a = b, a, False
+    # correlate(a, b, 'full')[i] pairs a[n] with b[n - (i - (len(b)-1))],
+    # so the peak index maps to the delay of `a` relative to `b` directly —
+    # no long/short bookkeeping needed.
+    corr = correlate(np.asarray(a, np.float64), np.asarray(b, np.float64),
+                     mode="full", method="fft")
+    lag = int(np.argmax(corr)) - (len(b) - 1)
 
-    corr = correlate(long_sig, short_sig, mode="full", method="fft")
-    lags = correlation_lags(len(long_sig), len(short_sig), mode="full")
-    best_lag = int(lags[int(np.argmax(corr))])
-
-    if best_lag >= 0:
-        long_start, short_start = best_lag, 0
-    else:
-        long_start, short_start = 0, -best_lag
-    overlap = min(len(long_sig) - long_start, len(short_sig) - short_start)
+    off_a, off_b = max(lag, 0), max(-lag, 0)
+    overlap = min(len(a) - off_a, len(b) - off_b)
     if overlap <= 0:
         n = min(len(a), len(b))
         return a[:n].astype(np.float32), b[:n].astype(np.float32), 0
-
-    long_al = long_sig[long_start: long_start + overlap]
-    short_al = short_sig[short_start: short_start + overlap]
-    if long_is_a:
-        return (long_al.astype(np.float32), short_al.astype(np.float32),
-                best_lag)
-    return short_al.astype(np.float32), long_al.astype(np.float32), -best_lag
+    return (a[off_a: off_a + overlap].astype(np.float32),
+            b[off_b: off_b + overlap].astype(np.float32), lag)
 
 
 # --------------------------------------------------------------------------- #

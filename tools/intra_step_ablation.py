@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Ablate the DPRNN intra-kernel step to locate the per-step cost.
+
+The shipped intra kernel (ops/pallas_gru.py:_intra_block_kernel) measures
+~5.4 ms/call at the b384-turbo shapes — ~19% of MXU peak — and the round-2
+microbenches proved the gap is neither dot throughput (int8 <= 5%) nor
+transcendentals (identity-gates ~1% e2e).  This tool times wrong-math
+variants of the step body with individual pieces removed, at the shipped
+shapes (tile 512, T = 48 freq steps, C = 64, bf16 planes), so the next
+optimisation targets the measured bottleneck instead of a guess.
+
+Variants (cumulative ablations each remove ONE piece from `full`):
+  full          mirror of the shipped body (staging stores, both dots,
+                gate math, ys dynamic stores, fc+LN epilogue)
+  no_epilogue   recurrence only (how much is the fc/LN tail?)
+  no_ys_stores  ... and without the per-step dynamic scrf/scrb stores
+  no_staging    ... and reading x2 from a prestaged [T*tile, 2C] scratch
+                instead of the two per-step staging stores
+  dots_only     ... gate math replaced by a single add (dependence kept)
+  gates_only    recurrence with NO dots (h = gates(x-slice, h))
+
+Every variant runs R reps inside one jit (fori_loop with a value
+dependence) so the axon relay's ~27 ms dispatch cost is amortised; the
+reported number is device time per rep and per step.
+
+Usage: python tools/intra_step_ablation.py [--rows 4096] [--reps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpdfnet_tpu.ops.pallas_gru import _sigmoid  # noqa: E402
+
+MM = (((1,), (0,)), ((), ()))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, MM,
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
+            wfc_ref, bfc_ref, g_ref, bln_ref,
+            out_ref, scrf, scrb, x2s, x2all):
+    tile = x_ref.shape[0]
+    C2 = 2 * C
+    cdt = scrf.dtype
+    CH = 8
+
+    prestage = variant in ("no_staging", "dots_only")
+    if prestage:
+        # stage the whole sequence once (timing-only stand-in: real code
+        # would need this inside the chunk walk; here we want the per-step
+        # staging cost OUT of the loop entirely)
+        for c0 in range(0, T, CH):
+            xf_c = x_ref[:, pl.ds(c0, CH), :].astype(cdt)
+            for k in range(CH):
+                x2all[(c0 + k) * tile:(c0 + k + 1) * tile, :C] = xf_c[:, k, :]
+                x2all[(c0 + k) * tile:(c0 + k + 1) * tile, C:] = xf_c[:, k, :]
+
+    def chunk(ci, h):
+        base = pl.multiple_of(ci * CH, CH)
+        rbase = pl.multiple_of(T - CH - ci * CH, CH)
+        xf_c = x_ref[:, pl.ds(base, CH), :].astype(cdt)
+        xb_c = x_ref[:, pl.ds(rbase, CH), :].astype(cdt)
+        for k in range(CH):
+            if variant == "gates_only":
+                xp = jnp.concatenate([xf_c[:, k, :]] * 6, axis=-1)
+                hh = jnp.concatenate([h] * 3, axis=-1)
+            elif prestage:
+                xp = _dot(x2all[(ci * CH + k) * tile:
+                                (ci * CH + k + 1) * tile], wi_ref[:]) \
+                    + b_ref[0:1, :]
+                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+            else:
+                x2s[:, :C] = xf_c[:, k, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+                xp = _dot(x2s[:], wi_ref[:]) + b_ref[0:1, :]
+                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+            if variant == "dots_only":
+                h = (xp[:, :C2] + hh[:, :C2]).astype(cdt)
+            else:
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+            if variant in ("full", "no_epilogue"):
+                hf = h[:, :C]
+                hb = h[:, C:]
+                scrf[pl.ds(base + k, 1)] = hf[None]
+                scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
+        return h
+
+    h = jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
+
+    if variant == "full":
+        for c0 in range(0, T, CH):
+            x_c = x_ref[:, pl.ds(c0, CH), :].astype(cdt)
+            for k in range(CH):
+                y = _dot(scrf[c0 + k], wfc_ref[:C]) + \
+                    _dot(scrb[c0 + k], wfc_ref[C:]) + bfc_ref[0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+                yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+                out_ref[:, c0 + k, :] = (x_c[:, k, :] + yn).astype(
+                    out_ref.dtype)
+    else:
+        # ablation variants use a 2-D out block: a [tile, C] -> [tile, 1, C]
+        # bf16 vector reshape after the fori_loop is an unsupported shape
+        # cast in this Mosaic version
+        out_ref[:] = h[:, :C].astype(out_ref.dtype)
+
+
+def build(variant, rows, T, C, tile, dtype):
+    cdt = jnp.float32
+    kern = functools.partial(_kernel, T, C, variant)
+    call = pl.pallas_call(
+        kern,
+        grid=(rows // tile,),
+        in_specs=[pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   if variant == "full" else
+                   pl.BlockSpec((tile, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rows, T, C), dtype)
+                   if variant == "full" else
+                   jax.ShapeDtypeStruct((rows, C), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((T, tile, C), cdt),
+            pltpu.VMEM((T, tile, C), cdt),
+            pltpu.VMEM((tile, 2 * C), cdt),
+            pltpu.VMEM((T * tile, 2 * C) if variant in
+                       ("no_staging", "dots_only") else (8, 128), cdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+    return call
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4096)
+    ap.add_argument("--T", type=int, default=48)
+    ap.add_argument("--C", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--variants", default="full,no_epilogue,no_ys_stores,"
+                                          "no_staging,dots_only,gates_only")
+    args = ap.parse_args()
+
+    rows, T, C, tile = args.rows, args.T, args.C, args.tile
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(rows, T, C)).astype(np.float32),
+                    dtype=dtype)
+    wi = jnp.asarray(rng.normal(size=(2 * C, 6 * C)).astype(np.float32))
+    wh = jnp.asarray(rng.normal(size=(2 * C, 6 * C)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 6 * C)).astype(np.float32))
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32))
+    bfc = jnp.asarray(rng.normal(size=(1, C)).astype(np.float32))
+    g = jnp.ones((1, C), jnp.float32)
+    bln = jnp.zeros((1, C), jnp.float32)
+
+    results = {}
+    steps_per_rep = (rows // tile) * T
+    for variant in args.variants.split(","):
+        call = build(variant, rows, T, C, tile, dtype)
+
+        def run(x, _call=call):
+            def body(i, acc):
+                out = _call((x * (1.0 + acc * 0.0)).astype(dtype),
+                            wi, wh, b, wfc, bfc, g, bln)
+                return acc + out[..., 0, 0].astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, args.reps, body,
+                                     jnp.float32(0.0))
+
+        fn = jax.jit(run)
+        t0 = time.perf_counter()
+        float(fn(x))                                  # compile + warm
+        compile_s = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        per_rep_ms = best / args.reps * 1e3
+        per_step_ns = best / args.reps / steps_per_rep * 1e9
+        results[variant] = (per_rep_ms, per_step_ns)
+        print(f"{variant:>14}: {per_rep_ms:8.3f} ms/call "
+              f"{per_step_ns:8.0f} ns/step  (compile {compile_s:.0f}s)",
+              flush=True)
+
+    if "full" in results:
+        base = results["full"][0]
+        print("\ndeltas vs full:")
+        for k, (ms, _) in results.items():
+            print(f"{k:>14}: {ms - base:+8.3f} ms ({100 * (ms - base) / base:+6.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
