@@ -31,12 +31,26 @@ def to_mono(audio: np.ndarray) -> np.ndarray:
     return x
 
 
-def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resampling (rational ratio) with a Kaiser anti-alias filter.
+def _soxr_available() -> bool:
+    try:
+        import soxr  # noqa: F401
+    except ImportError:
+        return False
+    return True
 
-    Default backend is scipy's ``resample_poly``; set
-    ``DPDFNET_TPU_RESAMPLER=native`` to use the framework's C++ resampler
-    (same filter design; agreement ~-68 dB, not bit-identical).
+
+def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Resample between rates; backend order mirrors the reference pipeline.
+
+    The reference resamples via librosa, whose default engine is soxr
+    (`/root/reference/package/src/dpdfnet/audio.py:20-27`), so when the
+    optional ``soxr`` package is importable it is preferred (HQ profile —
+    librosa's default) and any input fed through both pipelines sees the
+    SAME resampler.  Without it, scipy's Kaiser-windowed polyphase
+    ``resample_poly`` is the fallback; ``DPDFNET_TPU_RESAMPLER`` forces a
+    backend (``soxr`` / ``scipy`` / ``native`` — the framework's C++
+    polyphase, same filter design as scipy, agreement ~-68 dB).  Measured
+    backend deltas: ``tools/resampler_delta.py`` + docs/performance.md.
     """
     if sr_in == sr_out:
         return np.asarray(audio, dtype=np.float32)
@@ -45,8 +59,17 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
     import os
 
+    backend = os.environ.get("DPDFNET_TPU_RESAMPLER", "auto")
     x32 = np.asarray(audio, np.float32)
-    if os.environ.get("DPDFNET_TPU_RESAMPLER") == "native" and x32.ndim == 1:
+    if backend in ("auto", "soxr") and _soxr_available():
+        import soxr
+
+        # soxr resamples along axis 0 (multi-channel natively); "HQ" is
+        # librosa's soxr_hq default profile
+        return np.asarray(
+            soxr.resample(x32, int(sr_in), int(sr_out), quality="HQ"),
+            dtype=np.float32)
+    if backend == "native" and x32.ndim == 1:
         # the native resampler is mono-only (it would read a 2-D buffer as
         # interleaved mono garbage); multi-channel falls through to scipy,
         # which resamples along axis 0

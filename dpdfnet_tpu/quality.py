@@ -155,15 +155,19 @@ def validate_vs_onnx(
             w.writerows(rows)
 
     deltas = {}
-    import warnings
-
     for m in ("pesq", "stoi", "sisnr"):
-        # nanmean: a per-clip pesq failure (near-silent audio) contributes
-        # NaN for BOTH systems on that row and drops out of the average
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            ours_m = float(np.nanmean([r[f"{m}_tpu"] for r in rows]))
-            ref_m = float(np.nanmean([r[f"{m}_onnx"] for r in rows]))
+        # Average each metric only over rows where BOTH systems scored:
+        # pesq failures are per-clip per-system (a NoUtterancesError can
+        # hit one output and not the other), and averaging different clip
+        # subsets would compare unlike for unlike.
+        a = np.array([r[f"{m}_tpu"] for r in rows], np.float64)
+        b = np.array([r[f"{m}_onnx"] for r in rows], np.float64)
+        both = np.isfinite(a) & np.isfinite(b)
+        if both.any():
+            ours_m = float(a[both].mean())
+            ref_m = float(b[both].mean())
+        else:
+            ours_m = ref_m = float("nan")
         deltas[m] = ours_m - ref_m
         print(f"{m}: tpu {ours_m:.4f}  onnx {ref_m:.4f}  "
               f"delta {deltas[m]:+.4f}")

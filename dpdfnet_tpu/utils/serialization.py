@@ -64,7 +64,10 @@ def load_params(path) -> Dict:
                 else:
                     node[k] = jnp.asarray(data[key])
             else:
-                nxt_is_index = parts[i + 1].endswith("#")
+                # '#none' markers are index-like too: a list whose FIRST
+                # saved entry is None must still create its parent as a
+                # list, not a dict
+                nxt_is_index = parts[i + 1].endswith(("#", "#none"))
                 if is_index:
                     while len(node) <= k:
                         node.append(None)

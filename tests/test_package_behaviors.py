@@ -423,6 +423,25 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
+def test_params_npz_roundtrip_leading_none_list(tmp_path):
+    """A list whose FIRST entry is None must round-trip (regression: the
+    parent-container type check missed '#none' markers and built a dict,
+    crashing on append)."""
+    tree = {"a": [None, np.ones(3, np.float32)],
+            "b": [None, None, {"w": np.zeros(2, np.float32)}],
+            "c": [np.full(1, 7.0, np.float32), None]}
+    p = tmp_path / "lead_none.npz"
+    serialization.save_params(p, tree)
+    loaded = serialization.load_params(p)
+    assert loaded["a"][0] is None and len(loaded["a"]) == 2
+    np.testing.assert_array_equal(np.asarray(loaded["a"][1]), tree["a"][1])
+    assert loaded["b"][0] is None and loaded["b"][1] is None
+    np.testing.assert_array_equal(np.asarray(loaded["b"][2]["w"]),
+                                  tree["b"][2]["w"])
+    assert loaded["c"][1] is None
+    np.testing.assert_array_equal(np.asarray(loaded["c"][0]), tree["c"][0])
+
+
 def test_resample_identity_and_ratio():
     # band-limited test signal (white noise would be clipped at the
     # anti-alias transition band and cannot round-trip)
@@ -557,3 +576,61 @@ def test_ffmpeg_layout_channel_parse():
     assert f("quad") == 4 and f("quad(side)") == 4
     assert f("6 channels") == 6 and f("1 channels") == 1
     assert f("surround-nonsense") is None
+
+
+def test_resample_prefers_soxr_when_importable(monkeypatch):
+    """Backend order mirrors the reference pipeline (librosa -> soxr):
+    with a soxr module importable, auto routes through it; explicit
+    DPDFNET_TPU_RESAMPLER=scipy keeps the polyphase path."""
+    import sys
+    import types
+
+    from dpdfnet_tpu import audio
+
+    calls = {"soxr": 0}
+
+    def fake_soxr_resample(x, sr_in, sr_out, quality=None):
+        assert quality == "HQ"
+        calls["soxr"] += 1
+        from scipy.signal import resample_poly
+        import math
+
+        g = math.gcd(int(sr_in), int(sr_out))
+        return resample_poly(np.asarray(x, np.float64),
+                             sr_out // g, sr_in // g)
+
+    fake = types.ModuleType("soxr")
+    fake.resample = fake_soxr_resample
+    monkeypatch.setitem(sys.modules, "soxr", fake)
+
+    x = np.sin(2 * np.pi * 440 * np.arange(4800) / 48000).astype(np.float32)
+    monkeypatch.delenv("DPDFNET_TPU_RESAMPLER", raising=False)
+    y = audio.resample(x, 48000, 16000)
+    assert calls["soxr"] == 1
+    assert y.dtype == np.float32 and len(y) == 1600
+
+    monkeypatch.setenv("DPDFNET_TPU_RESAMPLER", "scipy")
+    y2 = audio.resample(x, 48000, 16000)
+    assert calls["soxr"] == 1            # unchanged: scipy path taken
+    # same filter family: the two backends agree closely on band-limited
+    # content (the fake IS scipy, so here they agree exactly)
+    np.testing.assert_allclose(y, y2, atol=1e-6)
+
+
+def test_resampler_backend_deltas_are_small():
+    """scipy vs the native C++ polyphase on speech-shaped content: same
+    Kaiser design, measured about -63 dB (tools/resampler_delta.py).  Gates
+    the number so a filter regression in either backend fails loudly."""
+    from dpdfnet_tpu import audio, native
+    from dpdfnet_tpu.quality import speechlike_test_signal
+
+    x = speechlike_test_signal(2.0, 48000, seed=0)[0]
+    ref = audio.resample(x, 48000, 16000)
+    got = native.resample(x, 1, 3)
+    if got is None:
+        pytest.skip("native host library not built")
+    n = min(len(ref), len(got))
+    lo, hi = n // 8, n - n // 8
+    d = np.sqrt(np.mean((ref[lo:hi] - got[lo:hi]) ** 2))
+    s = np.sqrt(np.mean(ref[lo:hi] ** 2))
+    assert 20 * np.log10(d / s) < -55.0

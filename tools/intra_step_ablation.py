@@ -60,7 +60,7 @@ def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
     cdt = scrf.dtype
     CH = 8
 
-    prestage = variant in ("no_staging", "dots_only")
+    prestage = variant in ("no_staging", "dots_only", "indep_dots")
     if prestage:
         # stage the whole sequence once (timing-only stand-in: real code
         # would need this inside the chunk walk; here we want the per-step
@@ -71,26 +71,78 @@ def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
                 x2all[(c0 + k) * tile:(c0 + k + 1) * tile, :C] = xf_c[:, k, :]
                 x2all[(c0 + k) * tile:(c0 + k + 1) * tile, C:] = xf_c[:, k, :]
 
+    if variant.startswith("pair"):
+        # two (or four) independent row-chains interleaved per step: the
+        # MXU dots of one chain can overlap the VPU gate math of the
+        # other, hiding the dependent-chain latency the ablations expose.
+        P = int(variant[4:]) if len(variant) > 4 else 2
+        sub = tile // P
+
+        def chunk(ci, hs):
+            base = pl.multiple_of(ci * CH, CH)
+            rbase = pl.multiple_of(T - CH - ci * CH, CH)
+            xf_c = x_ref[:, pl.ds(base, CH), :].astype(cdt)
+            xb_c = x_ref[:, pl.ds(rbase, CH), :].astype(cdt)
+            for k in range(CH):
+                x2s[:, :C] = xf_c[:, k, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+                xps = [_dot(x2s[p * sub:(p + 1) * sub], wi_ref[:])
+                       + b_ref[0:1, :] for p in range(P)]
+                hhs = [_dot(hs[p], wh_ref[:]) + b_ref[1:2, :]
+                       for p in range(P)]
+                new = []
+                for p in range(P):
+                    xp, hh, h = xps[p], hhs[p], hs[p]
+                    r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                    z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                    n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                    new.append(((1.0 - z) * n + z * h).astype(cdt))
+                hs = tuple(new)
+                for p in range(P):
+                    scrf[pl.ds(base + k, 1), p * sub:(p + 1) * sub] = \
+                        hs[p][:, :C][None]
+                    scrb[pl.ds(rbase + (CH - 1 - k), 1),
+                         p * sub:(p + 1) * sub] = hs[p][:, C:][None]
+            return hs
+
+        hs = jax.lax.fori_loop(
+            0, T // CH, chunk,
+            tuple(jnp.zeros((sub, C2), cdt) for _ in range(P)))
+        out_ref[0:sub] = hs[0][:, :C].astype(out_ref.dtype)
+        return
+
     def chunk(ci, h):
         base = pl.multiple_of(ci * CH, CH)
         rbase = pl.multiple_of(T - CH - ci * CH, CH)
         xf_c = x_ref[:, pl.ds(base, CH), :].astype(cdt)
         xb_c = x_ref[:, pl.ds(rbase, CH), :].astype(cdt)
         for k in range(CH):
+            if variant == "minimal":
+                # loads + staging + one VPU add per step: the floor of
+                # the step structure itself (concat of offset-layout
+                # slices is unsupported — stage through x2s as the real
+                # kernel does)
+                x2s[:, :C] = xf_c[:, k, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+                h = (h + x2s[:]).astype(cdt)
+                continue
             if variant == "gates_only":
                 xp = jnp.concatenate([xf_c[:, k, :]] * 6, axis=-1)
                 hh = jnp.concatenate([h] * 3, axis=-1)
             elif prestage:
-                xp = _dot(x2all[(ci * CH + k) * tile:
-                                (ci * CH + k + 1) * tile], wi_ref[:]) \
-                    + b_ref[0:1, :]
-                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+                x2 = x2all[pl.ds((base + k) * tile, tile)]
+                xp = _dot(x2, wi_ref[:]) + b_ref[0:1, :]
+                if variant == "indep_dots":
+                    # break the h dependence: same dot shapes, no chain
+                    hh = _dot(x2, wh_ref[:]) + b_ref[1:2, :]
+                else:
+                    hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
             else:
                 x2s[:, :C] = xf_c[:, k, :]
                 x2s[:, C:] = xb_c[:, CH - 1 - k, :]
                 xp = _dot(x2s[:], wi_ref[:]) + b_ref[0:1, :]
                 hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
-            if variant == "dots_only":
+            if variant in ("dots_only", "indep_dots"):
                 h = (xp[:, :C2] + hh[:, :C2]).astype(cdt)
             else:
                 r = _sigmoid(xp[:, :C2] + hh[:, :C2])
@@ -147,7 +199,8 @@ def build(variant, rows, T, C, tile, dtype):
             pltpu.VMEM((T, tile, C), cdt),
             pltpu.VMEM((tile, 2 * C), cdt),
             pltpu.VMEM((T * tile, 2 * C) if variant in
-                       ("no_staging", "dots_only") else (8, 128), cdt),
+                       ("no_staging", "dots_only", "indep_dots")
+                       else (8, 128), cdt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
