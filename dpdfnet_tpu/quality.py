@@ -246,10 +246,26 @@ def tier_deviation(
     ref_rms = float(np.sqrt(np.mean(ref ** 2)))
     in_rms = float(np.sqrt(np.mean(wav ** 2)))
     out = {"_ref_rms": ref_rms, "_input_rms": in_rms}
+
+    def _percept(a16, b16):
+        """Perceptual proxies of tier-vs-highest fidelity at 16 kHz:
+        native STOI (1.0 = transparent) and SI-SNR in dB, the same
+        metrics the reference's eval tool reports
+        (`/root/reference/pesq_stoi_sisnr_calc.py:149-153`).  Backs the
+        PESQ-delta claim inside the air gap with more than waveform RMS."""
+        from . import metrics
+
+        return (float(metrics.stoi(a16, b16, 16000)),
+                float(metrics.si_snr(a16, b16)))
+
+    ref16 = [ensure_sample_rate(r, cfg.sample_rate, 16000) for r in ref]
     for tier in tiers:
         y = engine_from_quality(cfg, params, tier).enhance_waveforms(wav)
         d = y - ref
         d_rms = float(np.sqrt(np.mean(d ** 2)))
+        stois, sisnrs = zip(*(
+            _percept(r16, ensure_sample_rate(yi, cfg.sample_rate, 16000))
+            for r16, yi in zip(ref16, y)))
         out[tier] = {
             "rel_rms": float(d_rms / max(ref_rms, 1e-12)),
             "max_abs": float(np.abs(d).max()),
@@ -258,5 +274,7 @@ def tier_deviation(
             # normalisation even when a synthetic model attenuates hard
             "rms_vs_input_db": float(
                 20.0 * np.log10(max(d_rms, 1e-12) / max(in_rms, 1e-12))),
+            "stoi_vs_highest": float(np.mean(stois)),
+            "sisnr_vs_highest_db": float(np.mean(sisnrs)),
         }
     return out

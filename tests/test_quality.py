@@ -41,6 +41,11 @@ def test_tier_deviation_runs_and_is_tiny_on_cpu():
     assert "fast" in dev and "_input_rms" in dev
     assert dev["fast"]["rel_rms"] < 1e-3
     assert dev["fast"]["rms_vs_input_db"] < -60.0
+    # perceptual proxies vs the highest tier (STOI 1.0 / SI-SNR +inf-ish
+    # when transparent); on CPU both tiers compute f32 so these must be
+    # at the transparent end
+    assert dev["fast"]["stoi_vs_highest"] > 0.99
+    assert dev["fast"]["sisnr_vs_highest_db"] > 40.0
 
 
 # --------------------------------------------------------------------------- #

@@ -111,6 +111,90 @@ def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
         out_ref[0:sub] = hs[0][:, :C].astype(out_ref.dtype)
         return
 
+    if variant in ("minimal_nostage", "twodot"):
+        # split h carry (hf, hb): no lane-concat => no x2s staging ever.
+        # twodot replaces the packed K=2C xp GEMM with two K=C dots on
+        # the direct chunk slices; hh stays one packed K=2C dot on the
+        # (clean-layout) carried h.
+        def chunk2(ci, hs):
+            hf, hb = hs
+            base = pl.multiple_of(ci * CH, CH)
+            rbase = pl.multiple_of(T - CH - ci * CH, CH)
+            xf_c = x_ref[:, pl.ds(base, CH), :].astype(cdt)
+            xb_c = x_ref[:, pl.ds(rbase, CH), :].astype(cdt)
+            for k in range(CH):
+                xf = xf_c[:, k, :]
+                xb = xb_c[:, CH - 1 - k, :]
+                if variant == "minimal_nostage":
+                    hf = (hf + xf).astype(cdt)
+                    hb = (hb + xb).astype(cdt)
+                    continue
+                xp = (_dot(xf, wi_ref[:C]) + _dot(xb, wi_ref[C:])
+                      + b_ref[0:1, :])
+                hh = (_dot(hf, wh_ref[:C]) + _dot(hb, wh_ref[C:])
+                      + b_ref[1:2, :])
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                hf = ((1.0 - z[:, :C]) * n[:, :C]
+                      + z[:, :C] * hf).astype(cdt)
+                hb = ((1.0 - z[:, C:C2]) * n[:, C:C2]
+                      + z[:, C:C2] * hb).astype(cdt)
+                scrf[pl.ds(base + k, 1)] = hf[None]
+                scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
+            return (hf, hb)
+
+        hf, hb = jax.lax.fori_loop(
+            0, T // CH, chunk2,
+            (jnp.zeros((tile, C), cdt), jnp.zeros((tile, C), cdt)))
+        out_ref[:] = hf.astype(out_ref.dtype)
+        return
+
+    if variant in ("minimal_static", "full_static"):
+        # fully static chunk walk: python loop instead of fori_loop, so
+        # every x slice has a COMPILE-TIME base.  Isolates the cost of
+        # dynamic-base block slicing (the one thing every slow variant
+        # shares).
+        h = jnp.zeros((tile, C2), cdt)
+        for ci in range(T // CH):
+            base = ci * CH
+            rbase = T - CH - ci * CH
+            xf_c = x_ref[:, base:base + CH, :].astype(cdt)
+            xb_c = x_ref[:, rbase:rbase + CH, :].astype(cdt)
+            for k in range(CH):
+                x2s[:, :C] = xf_c[:, k, :]
+                x2s[:, C:] = xb_c[:, CH - 1 - k, :]
+                if variant == "minimal_static":
+                    h = (h + x2s[:]).astype(cdt)
+                    continue
+                xp = _dot(x2s[:], wi_ref[:]) + b_ref[0:1, :]
+                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+                hf = h[:, :C]
+                hb = h[:, C:]
+                scrf[base + k: base + k + 1] = hf[None]
+                scrb[rbase + (CH - 1 - k): rbase + (CH - k)] = hb[None]
+        if variant == "full_static":
+            # epilogue, static too
+            for c0 in range(0, T, CH):
+                x_c = x_ref[:, c0:c0 + CH, :].astype(cdt)
+                for k in range(CH):
+                    y = _dot(scrf[c0 + k], wfc_ref[:C]) + \
+                        _dot(scrb[c0 + k], wfc_ref[C:]) + bfc_ref[0:1, :]
+                    mu = jnp.mean(y, axis=-1, keepdims=True)
+                    var = jnp.mean(jnp.square(y - mu), axis=-1,
+                                   keepdims=True)
+                    yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+                    yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+                    out_ref[:, c0 + k, :] = (x_c[:, k, :] + yn).astype(
+                        out_ref.dtype)
+        else:
+            out_ref[:] = h[:, :C].astype(out_ref.dtype)
+        return
+
     def chunk(ci, h):
         base = pl.multiple_of(ci * CH, CH)
         rbase = pl.multiple_of(T - CH - ci * CH, CH)
@@ -188,11 +272,11 @@ def build(variant, rows, T, C, tile, dtype):
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=(pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-                   if variant == "full" else
+                   if variant in ("full", "full_static") else
                    pl.BlockSpec((tile, C), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((rows, T, C), dtype)
-                   if variant == "full" else
+                   if variant in ("full", "full_static") else
                    jax.ShapeDtypeStruct((rows, C), dtype)),
         scratch_shapes=[
             pltpu.VMEM((T, tile, C), cdt),

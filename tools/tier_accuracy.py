@@ -64,13 +64,15 @@ def main() -> int:
     print(f"model={args.model} platform={platform} "
           f"({args.seconds}s x b{args.batch}, contract={args.contract})")
     print(f"{'tier':8} {'regime':12} {'rel_rms_dev':>12} {'max_abs_dev':>12} "
-          f"{'vs_input_db':>12}")
+          f"{'vs_input_db':>12} {'stoi':>7} {'sisnr_db':>9}")
     for regime, tiers in results.items():
         for tier, d in tiers.items():
             if tier.startswith("_"):
                 continue
             print(f"{tier:8} {regime:12} {d['rel_rms']:>12.3e} "
-                  f"{d['max_abs']:>12.3e} {d['rms_vs_input_db']:>12.1f}")
+                  f"{d['max_abs']:>12.3e} {d['rms_vs_input_db']:>12.1f} "
+                  f"{d['stoi_vs_highest']:>7.4f} "
+                  f"{d['sisnr_vs_highest_db']:>9.1f}")
     return 0
 
 
