@@ -141,6 +141,79 @@ def _inter_hoist() -> bool:
         "DPDFNET_TPU_INTER_HOIST", "0") not in ("0", "false", "False")
 
 
+def _inter_pack() -> bool:
+    """Packed-gate inter kernel (DPDFNET_TPU_INTER_PACK, read at trace
+    time): fold the per-step ``xp = x@Wi`` and ``hh = h@Wh`` dots into ONE
+    ``[x_t | h] @ Wp`` dot with K = C+H = 128 (full MXU depth) and
+    N = 4H = 256 columns laid out ``[r_sum | z_sum | xp_n | hh_n]`` —
+    r/z only ever use xp+hh summed, so their columns stack both weight
+    blocks; the n gate needs the two halves separately (torch's
+    linear-before-reset form), so it keeps split columns.
+
+    MXU passes per step drop from 5 (xp 2 + hh 2 + fc 1, the gate dots
+    contracting over only K=64 of the MXU's 128 depth) to 3, all at full
+    depth.  Cost: a [tile, C+H] staging scratch written per step (same
+    pattern the intra kernel uses for its direction concat)."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTER_PACK", "0") not in ("0", "false", "False")
+
+
+def _pack_inter(wi: Array, bi: Array, wh: Array, bh: Array, dtype):
+    """Pack inter-GRU weights for the packed-gate kernel.
+
+    Returns (wp [(C+H), 4H], bp [1, 4H]) with columns
+    ``[r: Wi_r over Wh_r | z: Wi_z over Wh_z | n_x: Wi_n over 0 |
+    n_h: 0 over Wh_n]`` and biases summed where the columns sum.
+    """
+    C, H3 = wi.shape
+    H = H3 // 3
+    wp = jnp.zeros((C + H, 4 * H), dtype)
+    wp = wp.at[:C, :2 * H].set(wi[:, :2 * H].astype(dtype))
+    wp = wp.at[C:, :2 * H].set(wh[:, :2 * H].astype(dtype))
+    wp = wp.at[:C, 2 * H:3 * H].set(wi[:, 2 * H:].astype(dtype))
+    wp = wp.at[C:, 3 * H:].set(wh[:, 2 * H:].astype(dtype))
+    bp = jnp.concatenate([
+        (bi[:2 * H] + bh[:2 * H]), bi[2 * H:], bh[2 * H:]]).astype(dtype)
+    return wp, bp.reshape(1, -1)
+
+
+def _inter_block_kernel_packed(TS: int, H: int, precision, eps: float,
+                               h0_ref, x_ref, wp_ref, bp_ref,
+                               wfc_ref, bfc_ref, g_ref, bln_ref,
+                               out_ref, hl_ref, h_scr, xh_scr):
+    """Packed-gate variant of :func:`_inter_block_kernel` — see
+    :func:`_inter_pack`.  Same math, same output, one full-depth gate dot
+    per step instead of two half-depth ones."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[0]
+
+    h = h_scr[:]
+    H2 = 2 * H
+    for s in range(TS):
+        x = x_ref[s].astype(h_scr.dtype)
+        # lane-staged [x_t | h] (jnp.concatenate of offset-layout vector
+        # values is unsupported in Mosaic; stores relayout their value)
+        xh_scr[:, :H] = x
+        xh_scr[:, H:] = h
+        d = _kdot(xh_scr[:], wp_ref[:], precision) + bp_ref[0:1, :]
+        r = _sigmoid(d[:, :H])
+        z = _sigmoid(d[:, H:H2])
+        n = jnp.tanh(d[:, H2:H2 + H] + r * d[:, H2 + H:])
+        h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
+
+        y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+        out_ref[s] = (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype)
+    h_scr[:] = h
+    hl_ref[0] = h
+
+
 _FORCE_DISABLED = contextvars.ContextVar("dpdfnet_force_disabled", default=0)
 
 
@@ -408,7 +481,7 @@ def gru_bidir_tm(
 
 
 def _intra_block_kernel(T: int, C: int, hoist: bool, CH: int,
-                        precision, eps: float,
+                        fc_chunk: bool, precision, eps: float,
                         x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
                         out_ref, scrf, scrb, x2s, xp_scr):
@@ -493,15 +566,35 @@ def _intra_block_kernel(T: int, C: int, hoist: bool, CH: int,
     # half-dots, LayerNorm, residual with the x block still resident.
     for c0 in range(0, T, CH):
         x_c = x_ref[:, pl.ds(c0, CH), :].astype(cdt)          # [tile, CH, C]
-        for k in range(CH):
-            y = _kdot(
-                scrf[c0 + k], wfc_ref[:C], precision) + _kdot(
-                scrb[c0 + k], wfc_ref[C:], precision) + bfc_ref[0:1, :]
+        if fc_chunk and CH > 1:
+            # Batch the chunk's fc into ONE dot pair of M = CH*tile rows
+            # (the per-step form issues 2 tiny K=C dots per time step —
+            # 2T MXU passes for the whole epilogue vs 2T/CH here; the
+            # scratches are already time-leading, so the chunk rows merge
+            # for free).  LN is per-row, so it batches unchanged.
+            yf = scrf[c0:c0 + CH].reshape(CH * tile, C)
+            yb = scrb[c0:c0 + CH].reshape(CH * tile, C)
+            y = _kdot(yf, wfc_ref[:C], precision) + _kdot(
+                yb, wfc_ref[C:], precision) + bfc_ref[0:1, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
             yn = (y - mu) * jax.lax.rsqrt(var + eps)
             yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
-            out_ref[:, c0 + k, :] = (x_c[:, k, :] + yn).astype(out_ref.dtype)
+            for k in range(CH):
+                out_ref[:, c0 + k, :] = (
+                    x_c[:, k, :] + yn[k * tile:(k + 1) * tile]
+                ).astype(out_ref.dtype)
+        else:
+            for k in range(CH):
+                y = _kdot(
+                    scrf[c0 + k], wfc_ref[:C], precision) + _kdot(
+                    scrb[c0 + k], wfc_ref[C:], precision) + bfc_ref[0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + eps)
+                yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+                out_ref[:, c0 + k, :] = (
+                    x_c[:, k, :] + yn).astype(out_ref.dtype)
 
 
 def _intra_tile(default: int | None = None) -> int:
@@ -515,6 +608,18 @@ def _intra_tile(default: int | None = None) -> int:
     return int(os.environ.get(
         "DPDFNET_TPU_INTRA_TILE", str(_INTRA_TILE if default is None
                                       else default)))
+
+
+def _intra_fc_chunk() -> bool:
+    """Chunk-batched fc epilogue in the intra kernel
+    (DPDFNET_TPU_INTRA_FCCHUNK, read at trace time): one [CH*tile, C] dot
+    pair per 8-step chunk instead of two tiny K=C dots per time step —
+    the epilogue's MXU instruction count drops 8x and each dot's M rows
+    amortise the per-dot fixed cost.  Unlike the rejected hoist variants
+    this adds NO staging traffic: the ys scratches are already
+    time-leading, so the chunk rows merge as a free reshape."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTRA_FCCHUNK", "0") not in ("0", "false", "False")
 
 
 def _intra_hoist() -> bool:
@@ -541,7 +646,8 @@ _INTRA_TILE = 256
 
 
 @functools.partial(
-    jax.jit, static_argnames=("precision", "interpret", "tile", "hoist"))
+    jax.jit, static_argnames=(
+        "precision", "interpret", "tile", "hoist", "fc_chunk"))
 def dprnn_intra_block(
     x: Array,
     wi2: Array,
@@ -556,6 +662,7 @@ def dprnn_intra_block(
     interpret: bool = False,
     tile: int | None = None,
     hoist: bool | None = None,
+    fc_chunk: bool | None = None,
 ) -> Array:
     """Fused DPRNN intra stage: ``x + LN(FC(bidirGRU(x)))``.
 
@@ -572,7 +679,7 @@ def dprnn_intra_block(
         return dprnn_intra_block(
             x.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
             precision=precision, interpret=interpret,
-            tile=tile, hoist=hoist).astype(x.dtype)
+            tile=tile, hoist=hoist, fc_chunk=fc_chunk).astype(x.dtype)
     # bf16 input streams the x/out planes compressed (half the kernel's
     # HBM traffic) while ALL in-kernel values stay f32: loads upcast,
     # stores downcast (see plane_io_bf16).  The earlier all-bf16 in-kernel
@@ -603,8 +710,9 @@ def dprnn_intra_block(
 
     hoist = _intra_hoist() if hoist is None else hoist
     CH = 8 if T % 8 == 0 else 1
+    fc_chunk = _intra_fc_chunk() if fc_chunk is None else fc_chunk
     kern = functools.partial(
-        _intra_block_kernel, T, C, hoist and CH > 1, CH,
+        _intra_block_kernel, T, C, hoist and CH > 1, CH, fc_chunk,
         _PRECISIONS[precision], 1e-5)
     # Scoped-vmem self-sizing: the x/out pipeline blocks and the ys
     # scratches scale with the tile, so large tiles (or f32 planes at
@@ -621,7 +729,8 @@ def dprnn_intra_block(
     est = (4 * tile * T * lanes * isz            # x + out, 2 bufs each
            + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
            + (CH if hoist and CH > 1 else 1) * tile * l2c * 4
-           + (CH * tile * l6c * 4 if hoist and CH > 1 else 0))
+           + (CH * tile * l6c * 4 if hoist and CH > 1 else 0)
+           + (2 * CH * tile * lanes * 4 if fc_chunk and CH > 1 else 0))
     vmem = _sized_vmem(est, 1.35)
 
     out = pl.pallas_call(
@@ -720,7 +829,7 @@ def _inter_block_kernel(TS: int, H: int, hoist: bool, precision, eps: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("precision", "interpret", "ts"))
+                   static_argnames=("precision", "interpret", "ts", "pack"))
 def dprnn_inter_block(
     x_tm: Array,
     h0: Array,
@@ -736,6 +845,7 @@ def dprnn_inter_block(
     precision: str = "high",
     interpret: bool = False,
     ts: int | None = None,
+    pack: bool | None = None,
 ) -> Tuple[Array, Array]:
     """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
 
@@ -765,11 +875,9 @@ def dprnn_inter_block(
     while TS * 2 <= want and T % (TS * 2) == 0:
         TS *= 2
 
-    b2 = jnp.stack([bi, bh]).astype(cdt)
     tmap = lambda i, t: (t, i, 0)
     hoist = _inter_hoist() and TS > 1
-    kern = functools.partial(
-        _inter_block_kernel, TS, C, hoist, _PRECISIONS[precision], 1e-5)
+    pack = (_inter_pack() if pack is None else pack) and not hoist
     # Scoped-vmem self-sizing (cf. dprnn_intra_block): the x/out pipeline
     # blocks scale with TS*tile and the hoisted xp scratch adds
     # TS*tile*3C f32.
@@ -778,8 +886,24 @@ def dprnn_inter_block(
     xp_lanes = -(-3 * C // 128) * 128
     est = (4 * TS * tile * lanes * isz           # x + out, 2 bufs each
            + 3 * tile * lanes * 4                # h0 + h_last + h carry
-           + (TS * tile * xp_lanes * 4 if hoist else 0))
+           + (TS * tile * xp_lanes * 4 if hoist else 0)
+           + (tile * max(2 * C, 128) * 4 if pack else 0))
     vmem = _sized_vmem(est, 1.35)
+
+    if pack:
+        wp, bp = _pack_inter(wi, bi, wh, bh, cdt)
+        kern = functools.partial(
+            _inter_block_kernel_packed, TS, C, _PRECISIONS[precision], 1e-5)
+        w_args = (wp, bp)
+        scratch = [pltpu.VMEM((tile, 2 * C), cdt)]               # [x_t | h]
+    else:
+        kern = functools.partial(
+            _inter_block_kernel, TS, C, hoist, _PRECISIONS[precision], 1e-5)
+        w_args = (wi.astype(cdt), wh.astype(cdt),
+                  jnp.stack([bi, bh]).astype(cdt))
+        # hoisted xp block (minimal when unused)
+        scratch = [pltpu.VMEM((TS * tile, 3 * C) if hoist else (8, 128),
+                              cdt)]
 
     out, h_last = pl.pallas_call(
         kern,
@@ -789,14 +913,7 @@ def dprnn_inter_block(
                          memory_space=pltpu.VMEM),                # h0
             pl.BlockSpec((TS, tile, C), tmap,
                          memory_space=pltpu.VMEM),                # x block
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # biases
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # wfc
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
-            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(w_args) + 4),
         out_specs=[
             pl.BlockSpec((TS, tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
@@ -808,15 +925,13 @@ def dprnn_inter_block(
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, C), cdt),                           # h carry
-            # hoisted xp block (minimal when unused)
-            pltpu.VMEM((TS * tile, 3 * C) if hoist else (8, 128), cdt),
-        ],
+        ] + scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
-    )(h0[None].astype(cdt), x_tm, wi.astype(cdt), wh.astype(cdt), b2,
+    )(h0[None].astype(cdt), x_tm, *w_args,
       wfc.astype(cdt), bfc.reshape(1, -1).astype(cdt),
       g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 

@@ -523,3 +523,63 @@ def test_dprnn_inter_block_hoist(monkeypatch, bf16_planes):
         np.asarray(ref), atol=atol)
     np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
                                atol=3e-2 if bf16_planes else 2e-5)
+
+
+@pytest.mark.parametrize("bf16_planes", [False, True])
+@pytest.mark.parametrize("T,ts", [(6, 1), (8, 4)])
+def test_dprnn_inter_block_packed(T, ts, bf16_planes):
+    """The packed-gate kernel (one [x|h] @ Wp dot per step — see
+    pallas_gru._inter_pack) matches gru_seq + fc + LN + residual.  The
+    r/z columns sum xp+hh inside the dot accumulator, so tolerances
+    cover that reassociation."""
+    rng = np.random.default_rng(15)
+    N, C = 12, 8
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    yt, hl_ref = onn.gru_seq(p, x, h0=h0)
+    yt = onn.layer_norm({"g": g, "b": bln}, onn.linear({"w": wfc, "b": bfc}, yt))
+    ref = x + yt
+
+    xt = jnp.swapaxes(x, 0, 1)
+    if bf16_planes:
+        xt = xt.astype(jnp.bfloat16)
+    out, hl = pallas_gru.dprnn_inter_block(
+        xt, h0, p["wi"], p["bi"], p["wh"], p["bh"],
+        wfc, bfc, g, bln, precision="highest", interpret=True, ts=ts,
+        pack=True)
+    atol = 3e-2 if bf16_planes else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 0, 1), np.float32),
+        np.asarray(ref), atol=atol)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               atol=3e-2 if bf16_planes else 2e-5)
+
+
+@pytest.mark.parametrize("T,dt", [(16, "float32"), (16, "bfloat16"),
+                                  (13, "float32")])
+def test_dprnn_intra_block_fc_chunk(T, dt):
+    """The chunk-batched fc epilogue (one [CH*tile, C] dot pair per chunk
+    — see pallas_gru._intra_fc_chunk) is bit-identical math to the
+    per-step epilogue: same dots over the same rows, just batched."""
+    rng = np.random.default_rng(16)
+    N, C = 20, 8
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32))
+    xd = x.astype(jnp.dtype(dt))
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    base = pallas_gru.dprnn_intra_block(
+        xd, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fc_chunk=False)
+    got = pallas_gru.dprnn_intra_block(
+        xd, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fc_chunk=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
