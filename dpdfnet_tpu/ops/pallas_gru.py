@@ -153,9 +153,14 @@ def _inter_pack() -> bool:
     MXU passes per step drop from 5 (xp 2 + hh 2 + fc 1, the gate dots
     contracting over only K=64 of the MXU's 128 depth) to 3, all at full
     depth.  Cost: a [tile, C+H] staging scratch written per step (same
-    pattern the intra kernel uses for its direction concat)."""
+    pattern the intra kernel uses for its direction concat).
+
+    MEASURED FASTER on v5e and DEFAULT ON: b384 turbo 2154 -> 2269 xRT
+    (+5.4% e2e ~= -17% inter-kernel time, consistent with the pass
+    count); numerics differ from the two-dot form only by the r/z
+    xp+hh accumulation order (~1e-6 f32)."""
     return os.environ.get(
-        "DPDFNET_TPU_INTER_PACK", "0") not in ("0", "false", "False")
+        "DPDFNET_TPU_INTER_PACK", "1") not in ("0", "false", "False")
 
 
 def _pack_inter(wi: Array, bi: Array, wh: Array, bh: Array, dtype):
@@ -617,7 +622,12 @@ def _intra_fc_chunk() -> bool:
     the epilogue's MXU instruction count drops 8x and each dot's M rows
     amortise the per-dot fixed cost.  Unlike the rejected hoist variants
     this adds NO staging traffic: the ys scratches are already
-    time-leading, so the chunk rows merge as a free reshape."""
+    time-leading, so the chunk rows merge as a free reshape.
+
+    MEASURED A WASH on v5e (b384 turbo: 2141 vs 2154 alone; 2253 vs 2269
+    stacked on the packed inter kernel) — the per-step epilogue dots
+    were already overlapped with the walk, and the batched form's
+    [CH*tile, C] temporaries add stack pressure.  Default OFF."""
     return os.environ.get(
         "DPDFNET_TPU_INTRA_FCCHUNK", "0") not in ("0", "false", "False")
 
