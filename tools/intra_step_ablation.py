@@ -24,6 +24,22 @@ dependence) so the axon relay's ~27 ms dispatch cost is amortised; the
 reported number is device time per rep and per step.
 
 Usage: python tools/intra_step_ablation.py [--rows 4096] [--reps 30]
+
+Round-3 measurements (ns/step, tile 512, T=48, C=64, bf16 planes, v5e;
+`full` shows +-3% session variance 3916-4031):
+  full 3916-4031 | no_epilogue 3159 (=> fc/LN epilogue ~760, 19%)
+  no_ys_stores 3179 (=> per-step scrf/scrb stores ~0)
+  minimal 2676  (chunk loads + staging + add — the structural floor:
+                 the [:, k, :] mid-dim sublane extract dominates; dots
+                 ~480, gates ~0 by difference)
+  tm_full 3458  (freq-LEADING [T, tile, C] walk: clean leading-dim
+                 chunk loads; -14% vs full — THE production lever)
+  tm_prex2 3627 (XLA-prebuilt [T,tile,2C] gate input, zero staging:
+                 SLOWER — 2C-wide loads cost more than staging saves)
+  tm_direct 3978 (per-step direct dynamic loads, no chunking: SLOWER —
+                 chunked CH=8 loads amortise the dynamic-base cost)
+Conclusion: restructure the intra kernel to a freq-leading walk
+(tm_full form); keep CH=8 chunked loads and the x2s staging store.
 """
 
 from __future__ import annotations
@@ -55,6 +71,134 @@ def _dot(a, b):
 def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
             wfc_ref, bfc_ref, g_ref, bln_ref,
             out_ref, scrf, scrb, x2s, x2all):
+    if variant in ("tm_minimal", "tm_prex2"):
+        # tm_minimal: time-leading layout, staging stores + add only (the
+        # structural floor of the tm walk).  tm_prex2: x arrives as the
+        # PREBUILT per-step gate input [T, tile, 2C] = [xf_k | xb_{T-1-k}]
+        # (concat+flip done by XLA outside the kernel) — the per-step body
+        # has NO staging store at all: one clean leading-dim load feeds
+        # the xp dot directly.  Full math including epilogue.
+        tile = x_ref.shape[1]
+        C2 = 2 * C
+        cdt = scrf.dtype
+        CH = 8
+
+        def chunk(ci, h):
+            base = pl.multiple_of(ci * CH, CH)
+            xc = x_ref[pl.ds(base, CH)].astype(cdt)       # [CH, tile, 2C]
+            for k in range(CH):
+                if variant == "tm_minimal":
+                    x2s[:, :C] = xc[k][:, :C]
+                    x2s[:, C:] = xc[k][:, C:]
+                    h = (h + x2s[:]).astype(cdt)
+                    continue
+                xp = _dot(xc[k], wi_ref[:]) + b_ref[0:1, :]
+                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+                scrf[pl.ds(base + k, 1)] = h[:, :C][None]
+                scrb[pl.ds(base + k, 1)] = h[:, C:][None]
+            return h
+
+        jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
+        if variant == "tm_minimal":
+            out_ref[0] = scrf[0].astype(out_ref.dtype)
+            return
+        for c0 in range(0, T, CH):
+            x_c = x_ref[pl.ds(c0, CH)].astype(cdt)        # [CH, tile, 2C]
+            for k in range(CH):
+                y = _dot(scrf[c0 + k], wfc_ref[:C]) + \
+                    _dot(scrb[c0 + k], wfc_ref[C:]) + bfc_ref[0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+                yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+                out_ref[c0 + k] = (x_c[k][:, :C] + yn).astype(out_ref.dtype)
+        return
+
+    if variant == "tm_direct":
+        # tm layout + per-step DIRECT dynamic loads (no [CH, tile, C]
+        # chunk values at all — those spill to VMEM as ~256-vreg
+        # temporaries and every per-step slice becomes a reload).
+        # Leading-dim dynamic indexing is legal for any dtype, so this
+        # form also drops the bf16 T%8 constraint.  Full math.
+        tile = x_ref.shape[1]
+        C2 = 2 * C
+        cdt = scrf.dtype
+
+        def step(t, h):
+            x2s[:, :C] = x_ref[t].astype(cdt)
+            x2s[:, C:] = x_ref[T - 1 - t].astype(cdt)
+            xp = _dot(x2s[:], wi_ref[:]) + b_ref[0:1, :]
+            hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+            r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+            z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+            n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+            h = ((1.0 - z) * n + z * h).astype(cdt)
+            scrf[pl.ds(t, 1)] = h[:, :C][None]
+            scrb[pl.ds(T - 1 - t, 1)] = h[:, C:][None]
+            return h
+
+        jax.lax.fori_loop(0, T, step, jnp.zeros((tile, C2), cdt))
+
+        def ep(t, acc):
+            y = _dot(scrf[t], wfc_ref[:C]) + \
+                _dot(scrb[t], wfc_ref[C:]) + bfc_ref[0:1, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+            yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+            out_ref[pl.ds(t, 1)] = (x_ref[t].astype(cdt) + yn).astype(
+                out_ref.dtype)[None]
+            return acc
+
+        jax.lax.fori_loop(0, T, ep, jnp.int32(0))
+        return
+
+    if variant == "tm_full":
+        # time(freq)-LEADING x/out layout [T, tile, C]: every per-step x
+        # access is a clean leading-dim load (like the inter kernel's
+        # x_ref[s]) instead of the mid-dim sublane-extract the row-major
+        # form pays.  Full math mirror otherwise (staging lane-concat,
+        # both dots, gates, ys stores, fc+LN epilogue).
+        tile = x_ref.shape[1]
+        C2 = 2 * C
+        cdt = scrf.dtype
+        CH = 8
+
+        def chunk(ci, h):
+            base = pl.multiple_of(ci * CH, CH)
+            rbase = pl.multiple_of(T - CH - ci * CH, CH)
+            xf_c = x_ref[pl.ds(base, CH)].astype(cdt)      # [CH, tile, C]
+            xb_c = x_ref[pl.ds(rbase, CH)].astype(cdt)
+            for k in range(CH):
+                x2s[:, :C] = xf_c[k]
+                x2s[:, C:] = xb_c[CH - 1 - k]
+                xp = _dot(x2s[:], wi_ref[:]) + b_ref[0:1, :]
+                hh = _dot(h, wh_ref[:]) + b_ref[1:2, :]
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+                scrf[pl.ds(base + k, 1)] = h[:, :C][None]
+                scrb[pl.ds(rbase + (CH - 1 - k), 1)] = h[:, C:][None]
+            return h
+
+        jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
+        for c0 in range(0, T, CH):
+            x_c = x_ref[pl.ds(c0, CH)].astype(cdt)         # [CH, tile, C]
+            for k in range(CH):
+                y = _dot(scrf[c0 + k], wfc_ref[:C]) + \
+                    _dot(scrb[c0 + k], wfc_ref[C:]) + bfc_ref[0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+                yn = (yn * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+                out_ref[c0 + k] = (x_c[k] + yn).astype(out_ref.dtype)
+        return
+
     tile = x_ref.shape[0]
     C2 = 2 * C
     cdt = scrf.dtype
@@ -264,20 +408,35 @@ def _kernel(T, C, variant, x_ref, wi_ref, wh_ref, b_ref,
 def build(variant, rows, T, C, tile, dtype):
     cdt = jnp.float32
     kern = functools.partial(_kernel, T, C, variant)
+    if variant in ("tm_full", "tm_direct"):
+        x_spec = pl.BlockSpec((T, tile, C), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = x_spec
+        out_shape = jax.ShapeDtypeStruct((T, rows, C), dtype)
+    elif variant in ("tm_minimal", "tm_prex2"):
+        x_spec = pl.BlockSpec((T, tile, 2 * C), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((T, tile, C), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, rows, C), dtype)
+    else:
+        x_spec = pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = (pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    if variant in ("full", "full_static") else
+                    pl.BlockSpec((tile, C), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+        out_shape = (jax.ShapeDtypeStruct((rows, T, C), dtype)
+                     if variant in ("full", "full_static") else
+                     jax.ShapeDtypeStruct((rows, C), dtype))
     call = pl.pallas_call(
         kern,
         grid=(rows // tile,),
-        in_specs=[pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] +
+        in_specs=[x_spec] +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=(pl.BlockSpec((tile, T, C), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-                   if variant in ("full", "full_static") else
-                   pl.BlockSpec((tile, C), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((rows, T, C), dtype)
-                   if variant in ("full", "full_static") else
-                   jax.ShapeDtypeStruct((rows, C), dtype)),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((T, tile, C), cdt),
             pltpu.VMEM((T, tile, C), cdt),
@@ -322,6 +481,13 @@ def main():
     steps_per_rep = (rows // tile) * T
     for variant in args.variants.split(","):
         call = build(variant, rows, T, C, tile, dtype)
+        if variant in ("tm_full", "tm_direct"):
+            xv = jnp.swapaxes(x, 0, 1)
+        elif variant in ("tm_minimal", "tm_prex2"):
+            xtm = jnp.swapaxes(x, 0, 1)                   # [T, rows, C]
+            xv = jnp.concatenate([xtm, jnp.flip(xtm, 0)], axis=-1)
+        else:
+            xv = x
 
         def run(x, _call=call):
             def body(i, acc):
@@ -333,12 +499,12 @@ def main():
 
         fn = jax.jit(run)
         t0 = time.perf_counter()
-        float(fn(x))                                  # compile + warm
+        float(fn(xv))                                  # compile + warm
         compile_s = time.perf_counter() - t0
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn(x))
+            float(fn(xv))
             best = min(best, time.perf_counter() - t0)
         per_rep_ms = best / args.reps * 1e3
         per_step_ns = best / args.reps / steps_per_rep * 1e9
