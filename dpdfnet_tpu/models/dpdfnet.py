@@ -199,6 +199,11 @@ def _dprnn_fused(
                and Fq % 8 == 0 and pallas_gru.plane_io_bf16(prec))
     if io_bf16:
         xt = xt.astype(jnp.bfloat16)
+    # Freq-leading intra kernel (DPDFNET_TPU_INTRA_TM): feed the intra
+    # stage a [Fq, T*B, C] plane (one XLA transpose per block) so its
+    # scan walks clean leading-dim loads; the kernel writes the
+    # row-major layout back, so the inter stage's reshape stays free.
+    use_tm = not use_v2 and pallas_gru.intra_tm_enabled()
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         intra, inter = p["intra"], p["inter"]
@@ -209,13 +214,22 @@ def _dprnn_fused(
         # 1021 -> 981 xRT: the per-step double xp load + gate-column select
         # costs more VPU than the removed blockdiag dot saved on the MXU.
         # Env-gated via DPDFNET_TPU_PALLAS_V2; see pallas_gru.v2_enabled.)
-        xi = pallas_gru.dprnn_intra_block(
-            xt.reshape(T * B, Fq, C),
-            pk["wi2"], pk["wh2"], pk["b2"],
-            intra["fc"]["w"], intra["fc"]["b"],
-            intra["ln"]["g"], intra["ln"]["b"],
-            precision=prec, interpret=interp,
-        )
+        if use_tm:
+            xi = pallas_gru.dprnn_intra_block_tm(
+                jnp.transpose(xt, (2, 0, 1, 3)).reshape(Fq, T * B, C),
+                pk["wi2"], pk["wh2"], pk["b2"],
+                intra["fc"]["w"], intra["fc"]["b"],
+                intra["ln"]["g"], intra["ln"]["b"],
+                precision=prec, interpret=interp,
+            )
+        else:
+            xi = pallas_gru.dprnn_intra_block(
+                xt.reshape(T * B, Fq, C),
+                pk["wi2"], pk["wh2"], pk["b2"],
+                intra["fc"]["w"], intra["fc"]["b"],
+                intra["ln"]["g"], intra["ln"]["b"],
+                precision=prec, interpret=interp,
+            )
         if use_v2 and "whfc" in inter:
             # Inter v2: xp hoisted to one big XLA GEMM; in-kernel the fc is
             # deferred one step so each step runs a single fused dot

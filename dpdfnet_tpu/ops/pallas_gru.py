@@ -783,6 +783,192 @@ def dprnn_intra_block(
     return out[:N] if n_pad else out
 
 
+def _intra_block_kernel_tm(T: int, C: int, CH: int, precision, eps: float,
+                           x_ref, wi_ref, wh_ref, b_ref,
+                           wfc_ref, bfc_ref, g_ref, bln_ref,
+                           out_ref, scrf, scrb, x2s):
+    """Freq-LEADING variant of ``_intra_block_kernel``.
+
+    x block is ``[T, tile, C]`` with the scanned (frequency) axis leading,
+    so every per-step chunk load is a clean leading-dim slice — the
+    row-major form's ``[:, k, :]`` mid-dim sublane extract was measured
+    (tools/intra_step_ablation.py, round 3) to be ~55% of its step cost
+    (full 4031 vs tm_full 3458 ns/step; dots ~480, gates ~0).  The
+    epilogue WRITES the row-major plane the inter stage consumes (free
+    reshape to ``[T_time, B*Fq, C]``) through a 2-D ``[tile, T*C]`` out
+    block: stores relayout their value for free and lane-slice stores
+    are rank-preserving (the 3-D ``[tile, 1, C]`` mid-dim form is an
+    unsupported bf16 shape cast), so emitting the consumer's layout
+    costs nothing — only the producer side of the block boundary (an
+    XLA transpose feeding this kernel) remains.
+    """
+    tile = x_ref.shape[1]
+    C2 = 2 * C
+    cdt = scrf.dtype
+
+    def chunk(ci, h):
+        base = pl.multiple_of(ci * CH, CH)
+        rbase = pl.multiple_of(T - CH - ci * CH, CH)
+        xf_c = x_ref[pl.ds(base, CH)].astype(cdt)          # [CH, tile, C]
+        xb_c = x_ref[pl.ds(rbase, CH)].astype(cdt)
+        for k in range(CH):
+            # stage the lane concat [xf | xb] as in the row-major kernel
+            # (offset-layout concats are unsupported; tm_prex2 proved an
+            # XLA-prebuilt 2C input is slower than this store)
+            x2s[:, :C] = xf_c[k]
+            x2s[:, C:] = xb_c[CH - 1 - k]
+            xp = _kdot(x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
+            hh = _kdot(h, wh_ref[:], precision) + b_ref[1:2, :]
+            r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+            z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+            n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+            h = ((1.0 - z) * n + z * h).astype(cdt)
+            hf = h[:, :C]
+            hb = h[:, C:]
+            scrf[pl.ds(base + k, 1)] = hf[None]
+            scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
+        return h
+
+    jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
+
+    # Epilogue: fc + LayerNorm + residual, x reloaded with clean leading
+    # slices.  The out block is the row-major plane viewed as 2-D
+    # [tile, T*C]: a per-step [tile, C] value then stores as a LANE slice
+    # (no rank change — the 3-D [tile, 1, C] form is an unsupported bf16
+    # shape cast in this Mosaic version).  Adjacent steps pair up through
+    # the [tile, 2C] staging scratch so every store writes a full
+    # 128-lane tile when C == 64.
+    pair = CH % 2 == 0
+    for c0 in range(0, T, CH):
+        x_c = x_ref[pl.ds(c0, CH)].astype(cdt)             # [CH, tile, C]
+
+        def _res(j):
+            y = _kdot(
+                scrf[j], wfc_ref[:C], precision) + _kdot(
+                scrb[j], wfc_ref[C:], precision) + bfc_ref[0:1, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            yn = (y - mu) * jax.lax.rsqrt(var + eps)
+            yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+            return x_c[j - c0] + yn.astype(cdt)
+
+        for k in range(0, CH, 2 if pair else 1):
+            if pair:
+                x2s[:, :C] = _res(c0 + k)
+                x2s[:, C:] = _res(c0 + k + 1)
+                out_ref[:, (c0 + k) * C:(c0 + k + 2) * C] = (
+                    x2s[:].astype(out_ref.dtype))
+            else:
+                out_ref[:, (c0 + k) * C:(c0 + k + 1) * C] = (
+                    _res(c0 + k).astype(out_ref.dtype))
+
+
+def intra_tm_enabled() -> bool:
+    """Freq-leading intra kernel in the fused stack
+    (DPDFNET_TPU_INTRA_TM, read at trace time).  Trades one XLA
+    transpose per DPRNN block (the plane into the scan-leading layout)
+    for the removal of every mid-dim x load inside the kernel."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTRA_TM", "0") not in ("0", "false", "False")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "tile"))
+def dprnn_intra_block_tm(
+    x_fm: Array,
+    wi2: Array,
+    wh2: Array,
+    b2: Array,
+    wfc: Array,
+    bfc: Array,
+    g: Array,
+    bln: Array,
+    *,
+    precision: str = "high",
+    interpret: bool = False,
+    tile: int | None = None,
+) -> Array:
+    """Fused DPRNN intra stage on a freq-leading plane.
+
+    Same math as ``dprnn_intra_block`` (``x + LN(FC(bidirGRU(x)))``) but
+    consumes ``x_fm: [T, N, C]`` with the scanned axis LEADING and
+    returns the row-major ``[N, T, C]`` the inter stage wants.  See
+    ``_intra_block_kernel_tm`` for why the layouts are asymmetric.
+    """
+    T, N, C = x_fm.shape
+    if x_fm.dtype == jnp.bfloat16 and not interpret and T % 8 != 0:
+        # keep the same 8-aligned-chunk constraint as the row-major
+        # kernel: the epilogue's static mid-dim bf16 stores want the
+        # (2, 1) sublane packing's alignment guarantees
+        return dprnn_intra_block_tm(
+            x_fm.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
+            precision=precision, interpret=interpret,
+            tile=tile).astype(x_fm.dtype)
+    dtype = x_fm.dtype
+    cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+    if tile is None:
+        default = None
+        if dtype == jnp.bfloat16:
+            explicit = os.environ.get("DPDFNET_TPU_KERNEL_VMEM")
+            if explicit is None or _kernel_vmem() >= 64 * 1024 * 1024:
+                default = 512
+        tile = _intra_tile(default)
+    tile = _pick_tile(N, tile)
+    n_pad = (-N) % tile
+    if n_pad:
+        x_fm = jnp.pad(x_fm, ((0, 0), (0, n_pad), (0, 0)))
+    Np = N + n_pad
+
+    CH = 8 if T % 8 == 0 else 1
+    kern = functools.partial(
+        _intra_block_kernel_tm, T, C, CH, _PRECISIONS[precision], 1e-5)
+    lanes = max(C, 128)
+    l2c = -(-2 * C // 128) * 128
+    isz = 2 if dtype == jnp.bfloat16 else 4
+    est = (4 * tile * T * lanes * isz            # x + out, 2 bufs each
+           + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
+           + tile * l2c * 4)                     # x2 staging
+    vmem = _sized_vmem(est, 1.35)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((T, tile, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # x (fm)
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wi2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wh2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # wfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # bfc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln gain
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # ln bias
+        ],
+        # 2-D [N, T*C] out: same bytes as the row-major [N, T, C] plane
+        # (the caller reshape is free); the flat lane axis is what lets
+        # the kernel's per-step stores stay rank-preserving (see kernel)
+        out_specs=pl.BlockSpec((tile, T * C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, T * C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, tile, C), cdt),                        # ys_fw
+            pltpu.VMEM((T, tile, C), cdt),                        # ys_bw
+            pltpu.VMEM((tile, 2 * C), cdt),                       # x2 staging
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=interpret,
+    )(x_fm, wi2.astype(cdt), wh2.astype(cdt), b2.astype(cdt),
+      wfc.astype(cdt), bfc.reshape(1, -1).astype(cdt),
+      g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
+
+    out = out.reshape(Np, T, C)
+    return out[:N] if n_pad else out
+
+
 def _inter_block_kernel(TS: int, H: int, hoist: bool, precision, eps: float,
                         h0_ref, x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,

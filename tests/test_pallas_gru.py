@@ -108,6 +108,71 @@ def test_dprnn_intra_block_kernel(N, T, C):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 16, 16), (20, 16, 8)])
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_dprnn_intra_block_tm_kernel(N, T, C, dt):
+    """Freq-leading intra kernel == the row-major fused intra kernel
+    (same packed weights, x fed scan-axis-leading, row-major out)."""
+    rng = np.random.default_rng(9)
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(N, T, C)).astype(np.float32)).astype(dt)
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    ref = pallas_gru.dprnn_intra_block(
+        x, wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True)
+    got = pallas_gru.dprnn_intra_block_tm(
+        jnp.swapaxes(x, 0, 1), wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True)
+    assert got.dtype == x.dtype and got.shape == (N, T, C)
+    atol = 3e-2 if dt == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol)
+
+
+def test_dprnn_fused_stack_intra_tm(monkeypatch):
+    """The fused DPRNN stack is invariant to the intra-kernel layout
+    (DPDFNET_TPU_INTRA_TM handles its own transposes)."""
+    from dpdfnet_tpu.models import dpdfnet as md
+
+    rng = np.random.default_rng(12)
+    B, T, Fq, C, K = 2, 4, 16, 8, 2
+    blocks, hs = [], []
+    for _ in range(K):
+        p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+        wfc = jnp.asarray(
+            rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+        bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+        gi, bi = _lnp(rng, C)
+        gg = _params(rng, C, C)
+        wfc2 = jnp.asarray(
+            rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+        bfc2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+        g2, b2_ = _lnp(rng, C)
+        wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+        blocks.append({
+            "intra": {"packed": {"wi2": wi2, "wh2": wh2, "b2": b2},
+                      "fc": {"w": wfc, "b": bfc},
+                      "ln": {"g": gi, "b": bi}},
+            "inter": {"gru": gg, "fc": {"w": wfc2, "b": bfc2},
+                      "ln": {"g": g2, "b": b2_}},
+        })
+        hs.append(jnp.zeros((B, Fq, C), jnp.float32))
+    x = jnp.asarray(rng.normal(size=(B, T, Fq, C)).astype(np.float32))
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("DPDFNET_TPU_INTRA_TM", raising=False)
+    ref, hs_ref = md._dprnn_fused(blocks, x, hs)
+    monkeypatch.setenv("DPDFNET_TPU_INTRA_TM", "1")
+    got, hs_got = md._dprnn_fused(blocks, x, hs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    for a, b in zip(hs_got, hs_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 @pytest.mark.parametrize("N,T,C", [(20, 13, 8), (11, 5, 16)])
 def test_dprnn_inter_block_kernel(N, T, C):
     """Fused inter stage == gru_seq + linear + layer_norm + residual."""
