@@ -199,12 +199,46 @@ def _dprnn_fused(
                and Fq % 8 == 0 and pallas_gru.plane_io_bf16(prec))
     if io_bf16:
         xt = xt.astype(jnp.bfloat16)
-    # Freq-leading intra kernel (DPDFNET_TPU_INTRA_TM): feed the intra
-    # stage a [Fq, T*B, C] plane (one XLA transpose per block) so its
-    # scan walks clean leading-dim loads; the kernel writes the
-    # row-major layout back, so the inter stage's reshape stays free.
-    use_tm = not use_v2 and pallas_gru.intra_tm_enabled()
+    # Transpose-free freq-chained stack (DPDFNET_TPU_INTRA_TM): the
+    # intra stage consumes a scan-leading [Fq, T*B, C] plane (clean
+    # leading-dim loads — the row-major walk's mid-dim sublane extracts
+    # were its measured step floor) and its epilogue WRITES the f-major
+    # 4-D plane the inter stage reshapes for free; the inter kernel in
+    # turn writes the freq-leading plane the next intra wants.  Static
+    # in-kernel stores do all the relayout work, so the only XLA
+    # transposes of the big plane are one in and one out of the stack.
+    use_tm = (not use_v2 and Fq % 8 == 0 and B % 8 == 0
+              and pallas_gru.intra_tm_enabled())
     new_hs: List[Array] = []
+    if use_tm:
+        # one transpose into the freq-leading chain; the kernels keep the
+        # layout cycle closed until the stack exit
+        plane = jnp.transpose(xt, (2, 0, 1, 3)).reshape(Fq, T * B, C)
+        for p, h in zip(p_blocks, hs):
+            intra, inter = p["intra"], p["inter"]
+            pk = intra["packed"]
+            g = inter["gru"]
+            xi4 = pallas_gru.dprnn_intra_block_tm(
+                plane,
+                pk["wi2"], pk["wh2"], pk["b2"],
+                intra["fc"]["w"], intra["fc"]["b"],
+                intra["ln"]["g"], intra["ln"]["b"],
+                precision=prec, interpret=interp, fm_batch=B,
+            )                                          # [T, Fq, B, C]
+            h_fm = jnp.swapaxes(h, 0, 1).reshape(Fq * B, C)
+            out4, h_new = pallas_gru.dprnn_inter_block(
+                xi4.reshape(T, Fq * B, C), h_fm,
+                g["wi"], g["bi"], g["wh"], g["bh"],
+                inter["fc"]["w"], inter["fc"]["b"],
+                inter["ln"]["g"], inter["ln"]["b"],
+                precision=prec, interpret=interp, fm_batch=B,
+            )                                          # [Fq, T, B, C]
+            plane = out4.reshape(Fq, T * B, C)
+            new_hs.append(jnp.swapaxes(
+                h_new.reshape(Fq, B, C), 0, 1).astype(x.dtype))
+        out_tb = jnp.transpose(
+            plane.reshape(Fq, T, B, C), (2, 1, 0, 3))  # [B, T, Fq, C]
+        return out_tb.astype(x.dtype), new_hs
     for p, h in zip(p_blocks, hs):
         intra, inter = p["intra"], p["inter"]
         pk = intra["packed"]
@@ -214,22 +248,13 @@ def _dprnn_fused(
         # 1021 -> 981 xRT: the per-step double xp load + gate-column select
         # costs more VPU than the removed blockdiag dot saved on the MXU.
         # Env-gated via DPDFNET_TPU_PALLAS_V2; see pallas_gru.v2_enabled.)
-        if use_tm:
-            xi = pallas_gru.dprnn_intra_block_tm(
-                jnp.transpose(xt, (2, 0, 1, 3)).reshape(Fq, T * B, C),
-                pk["wi2"], pk["wh2"], pk["b2"],
-                intra["fc"]["w"], intra["fc"]["b"],
-                intra["ln"]["g"], intra["ln"]["b"],
-                precision=prec, interpret=interp,
-            )
-        else:
-            xi = pallas_gru.dprnn_intra_block(
-                xt.reshape(T * B, Fq, C),
-                pk["wi2"], pk["wh2"], pk["b2"],
-                intra["fc"]["w"], intra["fc"]["b"],
-                intra["ln"]["g"], intra["ln"]["b"],
-                precision=prec, interpret=interp,
-            )
+        xi = pallas_gru.dprnn_intra_block(
+            xt.reshape(T * B, Fq, C),
+            pk["wi2"], pk["wh2"], pk["b2"],
+            intra["fc"]["w"], intra["fc"]["b"],
+            intra["ln"]["g"], intra["ln"]["b"],
+            precision=prec, interpret=interp,
+        )
         if use_v2 and "whfc" in inter:
             # Inter v2: xp hoisted to one big XLA GEMM; in-kernel the fc is
             # deferred one step so each step runs a single fused dot

@@ -182,7 +182,22 @@ def _pack_inter(wi: Array, bi: Array, wh: Array, bh: Array, dtype):
     return wp, bp.reshape(1, -1)
 
 
-def _inter_block_kernel_packed(TS: int, H: int, precision, eps: float,
+def _store_inter_out(out_ref, s, v, FM):
+    """Store one inter step's [tile, C] output.  FM == 0: time-leading
+    ``out_ref[s]``.  FM > 0: the tile is FM whole f-slices of B rows and
+    the out block is the freq-leading 4-D ``[FM, TS, B, C]`` — static
+    rank-preserving [B, C] window stores hand the NEXT intra stage its
+    scan-leading layout for free (see the fm chain in models._dprnn_fused)."""
+    if not FM:
+        out_ref[s] = v
+        return
+    Brows = v.shape[0] // FM
+    for j in range(FM):
+        out_ref[j, s] = v[j * Brows:(j + 1) * Brows]
+
+
+def _inter_block_kernel_packed(TS: int, H: int, FM: int, precision,
+                               eps: float,
                                h0_ref, x_ref, wp_ref, bp_ref,
                                wfc_ref, bfc_ref, g_ref, bln_ref,
                                out_ref, hl_ref, h_scr, xh_scr):
@@ -214,7 +229,9 @@ def _inter_block_kernel_packed(TS: int, H: int, precision, eps: float,
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
         yn = (y - mu) * jax.lax.rsqrt(var + eps)
         yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-        out_ref[s] = (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype)
+        _store_inter_out(out_ref, s,
+                         (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype),
+                         FM)
     h_scr[:] = h
     hl_ref[0] = h
 
@@ -783,7 +800,8 @@ def dprnn_intra_block(
     return out[:N] if n_pad else out
 
 
-def _intra_block_kernel_tm(T: int, C: int, CH: int, precision, eps: float,
+def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, precision,
+                           eps: float,
                            x_ref, wi_ref, wh_ref, b_ref,
                            wfc_ref, bfc_ref, g_ref, bln_ref,
                            out_ref, scrf, scrb, x2s):
@@ -839,6 +857,7 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, precision, eps: float,
     # the [tile, 2C] staging scratch so every store writes a full
     # 128-lane tile when C == 64.
     pair = CH % 2 == 0
+    Brows = tile // FM if FM else 0
     for c0 in range(0, T, CH):
         x_c = x_ref[pl.ds(c0, CH)].astype(cdt)             # [CH, tile, C]
 
@@ -852,6 +871,17 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, precision, eps: float,
             yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
             return x_c[j - c0] + yn.astype(cdt)
 
+        if FM:
+            # f-major 4-D out block [FM, T, B, C]: the tile's rows are FM
+            # whole time-frames of B batch rows each, so the store targets
+            # are static rank-preserving [B, C] windows — this hands the
+            # NEXT stage (inter, f-major rows) its layout for free.
+            for k in range(CH):
+                v = _res(c0 + k)
+                for j in range(FM):
+                    out_ref[j, c0 + k] = (
+                        v[j * Brows:(j + 1) * Brows].astype(out_ref.dtype))
+            continue
         for k in range(0, CH, 2 if pair else 1):
             if pair:
                 x2s[:, :C] = _res(c0 + k)
@@ -864,16 +894,32 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, precision, eps: float,
 
 
 def intra_tm_enabled() -> bool:
-    """Freq-leading intra kernel in the fused stack
-    (DPDFNET_TPU_INTRA_TM, read at trace time).  Trades one XLA
-    transpose per DPRNN block (the plane into the scan-leading layout)
-    for the removal of every mid-dim x load inside the kernel."""
+    """Transpose-free freq-chained DPRNN stack (DPDFNET_TPU_INTRA_TM,
+    read at trace time; default ON).
+
+    The intra kernel walks a scan-leading [Fq, T*B, C] plane (clean
+    leading-dim loads — the row-major walk's mid-dim sublane extracts
+    were ~55% of its step cost, tools/intra_step_ablation.py) and its
+    epilogue writes the f-major 4-D plane the inter stage reshapes for
+    free; the inter kernel writes the freq-leading plane the next intra
+    wants.  All relayout work rides static in-kernel stores (~free);
+    the big plane is transposed only once in and once out of the stack.
+
+    MEASURED on v5e b384 turbo: 2743 xRT vs 2265 for the row-major
+    kernels (+21%).  The intermediate step — freq-leading intra alone
+    with an XLA transpose per block — measured 2143: the kernels saved
+    23% of their time but the [T,B,Fq,C]->[Fq,T*B,C] XLA transpose runs
+    ~6x over bandwidth (~3.9 ms per 264 MB plane), which is why the
+    layout cycle must close inside the kernels.  Engages when
+    Fq % 8 == 0 and B % 8 == 0 (all shipped configs; engine buckets
+    pad batches to multiples of 8); falls back to the row-major kernels
+    otherwise."""
     return os.environ.get(
-        "DPDFNET_TPU_INTRA_TM", "0") not in ("0", "false", "False")
+        "DPDFNET_TPU_INTRA_TM", "1") not in ("0", "false", "False")
 
 
 @functools.partial(
-    jax.jit, static_argnames=("precision", "interpret", "tile"))
+    jax.jit, static_argnames=("precision", "interpret", "tile", "fm_batch"))
 def dprnn_intra_block_tm(
     x_fm: Array,
     wi2: Array,
@@ -887,6 +933,7 @@ def dprnn_intra_block_tm(
     precision: str = "high",
     interpret: bool = False,
     tile: int | None = None,
+    fm_batch: int | None = None,
 ) -> Array:
     """Fused DPRNN intra stage on a freq-leading plane.
 
@@ -894,6 +941,13 @@ def dprnn_intra_block_tm(
     consumes ``x_fm: [T, N, C]`` with the scanned axis LEADING and
     returns the row-major ``[N, T, C]`` the inter stage wants.  See
     ``_intra_block_kernel_tm`` for why the layouts are asymmetric.
+
+    ``fm_batch=B`` (requires ``N = T_time * B`` with t-major rows)
+    instead returns the f-major 4-D plane ``[T_time, T, B, C]`` whose
+    ``[T_time, T*B, C]`` reshape is the f-major-rows inter input — the
+    layout handoff of the transpose-free DPRNN chain.  The row tile
+    becomes a whole number of time-frames (``k*B``), so the epilogue's
+    stores stay static [B, C] windows.
     """
     T, N, C = x_fm.shape
     if x_fm.dtype == jnp.bfloat16 and not interpret and T % 8 != 0:
@@ -903,7 +957,7 @@ def dprnn_intra_block_tm(
         return dprnn_intra_block_tm(
             x_fm.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
             precision=precision, interpret=interpret,
-            tile=tile).astype(x_fm.dtype)
+            tile=tile, fm_batch=fm_batch).astype(x_fm.dtype)
     dtype = x_fm.dtype
     cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
@@ -914,15 +968,29 @@ def dprnn_intra_block_tm(
             if explicit is None or _kernel_vmem() >= 64 * 1024 * 1024:
                 default = 512
         tile = _intra_tile(default)
-    tile = _pick_tile(N, tile)
-    n_pad = (-N) % tile
-    if n_pad:
-        x_fm = jnp.pad(x_fm, ((0, 0), (0, n_pad), (0, 0)))
-    Np = N + n_pad
+    if fm_batch:
+        B = fm_batch
+        Tt = N // B
+        if N != Tt * B:
+            raise ValueError(f"fm_batch={B} does not divide N={N}")
+        # whole time-frames per tile, nearest to the tuned row tile
+        k = max(1, min(Tt, round(tile / B) or 1))
+        while Tt % k:
+            k -= 1
+        tile = k * B
+        n_pad = 0
+        Np = N
+    else:
+        k = 0
+        tile = _pick_tile(N, tile)
+        n_pad = (-N) % tile
+        if n_pad:
+            x_fm = jnp.pad(x_fm, ((0, 0), (0, n_pad), (0, 0)))
+        Np = N + n_pad
 
     CH = 8 if T % 8 == 0 else 1
     kern = functools.partial(
-        _intra_block_kernel_tm, T, C, CH, _PRECISIONS[precision], 1e-5)
+        _intra_block_kernel_tm, T, C, CH, k, _PRECISIONS[precision], 1e-5)
     lanes = max(C, 128)
     l2c = -(-2 * C // 128) * 128
     isz = 2 if dtype == jnp.bfloat16 else 4
@@ -947,10 +1015,18 @@ def dprnn_intra_block_tm(
         ],
         # 2-D [N, T*C] out: same bytes as the row-major [N, T, C] plane
         # (the caller reshape is free); the flat lane axis is what lets
-        # the kernel's per-step stores stay rank-preserving (see kernel)
-        out_specs=pl.BlockSpec((tile, T * C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, T * C), dtype),
+        # the kernel's per-step stores stay rank-preserving (see kernel).
+        # fm mode: the f-major 4-D plane, one cell = k whole time-frames.
+        out_specs=(pl.BlockSpec((k, T, fm_batch, C),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   if fm_batch else
+                   pl.BlockSpec((tile, T * C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((Np // fm_batch, T, fm_batch, C),
+                                        dtype)
+                   if fm_batch else
+                   jax.ShapeDtypeStruct((Np, T * C), dtype)),
         scratch_shapes=[
             pltpu.VMEM((T, tile, C), cdt),                        # ys_fw
             pltpu.VMEM((T, tile, C), cdt),                        # ys_bw
@@ -965,11 +1041,14 @@ def dprnn_intra_block_tm(
       wfc.astype(cdt), bfc.reshape(1, -1).astype(cdt),
       g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 
+    if fm_batch:
+        return out                                         # [Tt, T, B, C]
     out = out.reshape(Np, T, C)
     return out[:N] if n_pad else out
 
 
-def _inter_block_kernel(TS: int, H: int, hoist: bool, precision, eps: float,
+def _inter_block_kernel(TS: int, H: int, hoist: bool, FM: int, precision,
+                        eps: float,
                         h0_ref, x_ref, wi_ref, wh_ref, b_ref,
                         wfc_ref, bfc_ref, g_ref, bln_ref,
                         out_ref, hl_ref, h_scr, xp_scr):
@@ -1019,13 +1098,16 @@ def _inter_block_kernel(TS: int, H: int, hoist: bool, precision, eps: float,
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
         yn = (y - mu) * jax.lax.rsqrt(var + eps)
         yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-        out_ref[s] = (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype)
+        _store_inter_out(out_ref, s,
+                         (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype),
+                         FM)
     h_scr[:] = h
     hl_ref[0] = h
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("precision", "interpret", "ts", "pack"))
+                   static_argnames=("precision", "interpret", "ts", "pack",
+                                    "fm_batch"))
 def dprnn_inter_block(
     x_tm: Array,
     h0: Array,
@@ -1042,6 +1124,7 @@ def dprnn_inter_block(
     interpret: bool = False,
     ts: int | None = None,
     pack: bool | None = None,
+    fm_batch: int | None = None,
 ) -> Tuple[Array, Array]:
     """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
 
@@ -1049,6 +1132,13 @@ def dprnn_inter_block(
     ``out[t] = x[t] + LN(FC(GRUstep(h, x[t])))`` — matching
     ``nn.gru_seq`` + ``nn.linear`` + ``nn.layer_norm`` + residual as used
     by ``models.dpdfnet._dprnn_block``.
+
+    ``fm_batch=B`` (requires f-major rows, ``N = Fq * B``): the out
+    becomes the freq-leading 4-D plane ``[Fq, T, B, C]`` whose
+    ``[Fq, T*B, C]`` reshape is the next intra stage's scan-leading
+    input — the other half of the transpose-free DPRNN chain.  The row
+    tile becomes a whole number of f-slices (``c*B`` with ``c | Fq``).
+    ``h_last`` stays ``[N, C]`` in the same f-major row order as ``h0``.
     """
     T, N, C = x_tm.shape
     dtype = x_tm.dtype
@@ -1058,10 +1148,23 @@ def dprnn_inter_block(
 
     tile = _pick_tile(N, int(os.environ.get(
         "DPDFNET_TPU_INTER_TILE", str(_TILE_N))))
-    n_pad = (-N) % tile
-    if n_pad:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
-        h0 = jnp.pad(h0, ((0, n_pad), (0, 0)))
+    if fm_batch:
+        B = fm_batch
+        Fq = N // B
+        if N != Fq * B:
+            raise ValueError(f"fm_batch={B} does not divide N={N}")
+        # whole f-slices per tile, nearest divisor of Fq to the tuned tile
+        c = max(1, min(Fq, round(tile / B) or 1))
+        while Fq % c:
+            c -= 1
+        tile = c * B
+        n_pad = 0
+    else:
+        c = 0
+        n_pad = (-N) % tile
+        if n_pad:
+            x_tm = jnp.pad(x_tm, ((0, 0), (0, n_pad), (0, 0)))
+            h0 = jnp.pad(h0, ((0, n_pad), (0, 0)))
     Np = N + n_pad
 
     # steps per grid cell: largest power of two <= ts dividing T
@@ -1089,18 +1192,29 @@ def dprnn_inter_block(
     if pack:
         wp, bp = _pack_inter(wi, bi, wh, bh, cdt)
         kern = functools.partial(
-            _inter_block_kernel_packed, TS, C, _PRECISIONS[precision], 1e-5)
+            _inter_block_kernel_packed, TS, C, c, _PRECISIONS[precision],
+            1e-5)
         w_args = (wp, bp)
         scratch = [pltpu.VMEM((tile, 2 * C), cdt)]               # [x_t | h]
     else:
         kern = functools.partial(
-            _inter_block_kernel, TS, C, hoist, _PRECISIONS[precision], 1e-5)
+            _inter_block_kernel, TS, C, hoist, c, _PRECISIONS[precision],
+            1e-5)
         w_args = (wi.astype(cdt), wh.astype(cdt),
                   jnp.stack([bi, bh]).astype(cdt))
         # hoisted xp block (minimal when unused)
         scratch = [pltpu.VMEM((TS * tile, 3 * C) if hoist else (8, 128),
                               cdt)]
 
+    out_spec = (pl.BlockSpec((c, TS, fm_batch, C),
+                             lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if fm_batch else
+                pl.BlockSpec((TS, tile, C), tmap, memory_space=pltpu.VMEM))
+    out_shape = (jax.ShapeDtypeStruct((Np // fm_batch, T, fm_batch, C),
+                                      dtype)
+                 if fm_batch else
+                 jax.ShapeDtypeStruct((T, Np, C), dtype))
     out, h_last = pl.pallas_call(
         kern,
         grid=(Np // tile, T // TS),
@@ -1111,12 +1225,12 @@ def dprnn_inter_block(
                          memory_space=pltpu.VMEM),                # x block
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(w_args) + 4),
         out_specs=[
-            pl.BlockSpec((TS, tile, C), tmap, memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),                # h_last
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Np, C), dtype),
+            out_shape,
             jax.ShapeDtypeStruct((1, Np, C), cdt),
         ],
         scratch_shapes=[

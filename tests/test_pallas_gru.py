@@ -133,13 +133,61 @@ def test_dprnn_intra_block_tm_kernel(N, T, C, dt):
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol)
 
 
+@pytest.mark.parametrize("Tt,B,Fq,C", [(5, 4, 16, 8), (3, 8, 13, 8)])
+def test_dprnn_intra_block_tm_fm_mode(Tt, B, Fq, C):
+    """fm_batch out == row-major out rearranged to the f-major 4-D plane."""
+    rng = np.random.default_rng(10)
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(
+        rng.normal(size=(Fq, Tt * B, C)).astype(np.float32))
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    ref = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True)           # [Tt*B, Fq, C]
+    got = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln,
+        precision="highest", interpret=True, fm_batch=B)
+    assert got.shape == (Tt, Fq, B, C)
+    ref4 = np.asarray(ref).reshape(Tt, B, Fq, C).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), ref4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_dprnn_inter_block_fm_mode(pack):
+    """fm_batch out == time-leading out rearranged to [Fq, T, B, C]."""
+    Fq, B, T, C = 12, 4, 6, 8
+    rng = np.random.default_rng(11)
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, Fq * B, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(Fq * B, C)).astype(np.float32) * 0.2)
+
+    ref, hl_ref = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln,
+        precision="highest", interpret=True, pack=pack)
+    got, hl = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln,
+        precision="highest", interpret=True, pack=pack, fm_batch=B)
+    assert got.shape == (Fq, T, B, C)
+    ref4 = np.asarray(ref).reshape(T, Fq, B, C).transpose(1, 0, 2, 3)
+    np.testing.assert_allclose(np.asarray(got), ref4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               atol=1e-5)
+
+
 def test_dprnn_fused_stack_intra_tm(monkeypatch):
     """The fused DPRNN stack is invariant to the intra-kernel layout
     (DPDFNET_TPU_INTRA_TM handles its own transposes)."""
     from dpdfnet_tpu.models import dpdfnet as md
 
     rng = np.random.default_rng(12)
-    B, T, Fq, C, K = 2, 4, 16, 8, 2
+    B, T, Fq, C, K = 8, 4, 16, 8, 2     # B % 8 == 0: the fm chain engages
     blocks, hs = [], []
     for _ in range(K):
         p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
@@ -164,7 +212,7 @@ def test_dprnn_fused_stack_intra_tm(monkeypatch):
     x = jnp.asarray(rng.normal(size=(B, T, Fq, C)).astype(np.float32))
 
     monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
-    monkeypatch.delenv("DPDFNET_TPU_INTRA_TM", raising=False)
+    monkeypatch.setenv("DPDFNET_TPU_INTRA_TM", "0")
     ref, hs_ref = md._dprnn_fused(blocks, x, hs)
     monkeypatch.setenv("DPDFNET_TPU_INTRA_TM", "1")
     got, hs_got = md._dprnn_fused(blocks, x, hs)
