@@ -34,10 +34,12 @@ def main() -> int:
     # The API default for enhance() remains the f32-grade 'high' tier.
     tier = os.environ.get("BENCH_PRECISION", "turbo")
     # Measured throughput sweet spots on one v5e: b384 x 10 s for the
-    # bf16-activation turbo tier (2149 xRT at seg 112 / intra tile 512,
-    # vs 2062 b256 / 1809 b320 / 2087 b512 / 1634 b448); the f32-
-    # activation tiers peak at b256 (1876; b320 drops to 1211 = HBM
-    # pressure, larger OOMs) — so the default batch follows the tier.
+    # bf16-activation turbo tier.  With the round-3 transpose-free
+    # freq-chained DPRNN stack the batch curve is flat at the top
+    # (b256/2711, b384/2743, b512/2743 xRT) — b384 keeps the smaller
+    # footprint at equal speed.  The f32-activation tiers peak at b256
+    # (b320 drops = HBM pressure, larger OOMs) — so the default batch
+    # follows the tier.
     batch = int(os.environ.get(
         "BENCH_BATCH", "384" if tier == "turbo" else "256"))
     # run_bench resolves quality-tier names (QUALITY_TIERS) itself.
