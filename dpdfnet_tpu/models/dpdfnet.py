@@ -207,7 +207,11 @@ def _dprnn_fused(
     # turn writes the freq-leading plane the next intra wants.  Static
     # in-kernel stores do all the relayout work, so the only XLA
     # transposes of the big plane are one in and one out of the stack.
-    use_tm = (not use_v2 and Fq % 8 == 0 and B % 8 == 0
+    # B >= 32 floor: the fm kernels' epilogues emit round(tile/B) static
+    # stores per step (Python-unrolled in the Mosaic program), so a tiny
+    # batch inflates program size and the minutes-long remote compile for
+    # no throughput win — the row-major kernels are the right tool there.
+    use_tm = (not use_v2 and Fq % 8 == 0 and B % 8 == 0 and B >= 32
               and pallas_gru.intra_tm_enabled())
     new_hs: List[Array] = []
     if use_tm:

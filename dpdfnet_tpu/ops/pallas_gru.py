@@ -644,7 +644,14 @@ def _intra_fc_chunk() -> bool:
     MEASURED A WASH on v5e (b384 turbo: 2141 vs 2154 alone; 2253 vs 2269
     stacked on the packed inter kernel) — the per-step epilogue dots
     were already overlapped with the walk, and the batched form's
-    [CH*tile, C] temporaries add stack pressure.  Default OFF."""
+    [CH*tile, C] temporaries add stack pressure.  Default OFF.
+
+    RE-MEASURED round 4 on the freq-leading tm walk (the staging
+    economics changed with the restructure, so the round-2 verdict did
+    not transfer automatically): b384 turbo 2741.75 vs 2741.53 — an
+    exact wash there too.  The ~780 ns/step between the tm walk and its
+    structural floor (tools/intra_step_ablation.py) is NOT recoverable
+    by batching the fc dots; the epilogue is already fully overlapped."""
     return os.environ.get(
         "DPDFNET_TPU_INTRA_FCCHUNK", "0") not in ("0", "false", "False")
 
@@ -800,8 +807,8 @@ def dprnn_intra_block(
     return out[:N] if n_pad else out
 
 
-def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, precision,
-                           eps: float,
+def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
+                           precision, eps: float,
                            x_ref, wi_ref, wh_ref, b_ref,
                            wfc_ref, bfc_ref, g_ref, bln_ref,
                            out_ref, scrf, scrb, x2s):
@@ -861,15 +868,33 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, precision,
     for c0 in range(0, T, CH):
         x_c = x_ref[pl.ds(c0, CH)].astype(cdt)             # [CH, tile, C]
 
-        def _res(j):
-            y = _kdot(
-                scrf[j], wfc_ref[:C], precision) + _kdot(
-                scrb[j], wfc_ref[C:], precision) + bfc_ref[0:1, :]
-            mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-            yn = (y - mu) * jax.lax.rsqrt(var + eps)
-            yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-            return x_c[j - c0] + yn.astype(cdt)
+        if fc_chunk and CH > 1:
+            # Chunk-batched fc (round-4 probe on the tm walk — the round-2
+            # wash verdict was measured on the row-major walk): ONE dot
+            # pair of M = CH*tile rows per chunk; the scratches are
+            # time-leading so the chunk rows merge as a free reshape.
+            yf = scrf[c0:c0 + CH].reshape(CH * tile, C)
+            yb = scrb[c0:c0 + CH].reshape(CH * tile, C)
+            yc = _kdot(yf, wfc_ref[:C], precision) + _kdot(
+                yb, wfc_ref[C:], precision) + bfc_ref[0:1, :]
+            mu = jnp.mean(yc, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yc - mu), axis=-1, keepdims=True)
+            ync = (yc - mu) * jax.lax.rsqrt(var + eps)
+            ync = (ync * g_ref[0:1, :] + bln_ref[0:1, :]).astype(cdt)
+
+            def _res(j):
+                k = j - c0
+                return x_c[k] + ync[k * tile:(k + 1) * tile]
+        else:
+            def _res(j):
+                y = _kdot(
+                    scrf[j], wfc_ref[:C], precision) + _kdot(
+                    scrb[j], wfc_ref[C:], precision) + bfc_ref[0:1, :]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+                yn = (y - mu) * jax.lax.rsqrt(var + eps)
+                yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+                return x_c[j - c0] + yn.astype(cdt)
 
         if FM:
             # f-major 4-D out block [FM, T, B, C]: the tile's rows are FM
@@ -919,7 +944,8 @@ def intra_tm_enabled() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("precision", "interpret", "tile", "fm_batch"))
+    jax.jit, static_argnames=("precision", "interpret", "tile", "fm_batch",
+                              "fc_chunk"))
 def dprnn_intra_block_tm(
     x_fm: Array,
     wi2: Array,
@@ -934,6 +960,7 @@ def dprnn_intra_block_tm(
     interpret: bool = False,
     tile: int | None = None,
     fm_batch: int | None = None,
+    fc_chunk: bool | None = None,
 ) -> Array:
     """Fused DPRNN intra stage on a freq-leading plane.
 
@@ -948,6 +975,16 @@ def dprnn_intra_block_tm(
     layout handoff of the transpose-free DPRNN chain.  The row tile
     becomes a whole number of time-frames (``k*B``), so the epilogue's
     stores stay static [B, C] windows.
+
+    Caveats for direct callers (the model path gates these away):
+    - fm mode emits ``T * round(tile/fm_batch)`` Python-unrolled stores
+      per Mosaic program, so a small ``fm_batch`` (< 32) inflates program
+      size and remote-compile time; prefer ``dprnn_intra_block`` there
+      (``models.dpdfnet._dprnn_fused`` floors the chain at B >= 32).
+    - the non-fm f32 path with ``T % 8 != 0`` (CH == 1) stores odd
+      64-lane slices — a Mosaic lowering pattern validated in interpret
+      mode only (every shipped config has T % 8 == 0 on hardware); keep
+      T a multiple of 8 for hardware use.
     """
     T, N, C = x_fm.shape
     if x_fm.dtype == jnp.bfloat16 and not interpret and T % 8 != 0:
@@ -957,7 +994,8 @@ def dprnn_intra_block_tm(
         return dprnn_intra_block_tm(
             x_fm.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
             precision=precision, interpret=interpret,
-            tile=tile, fm_batch=fm_batch).astype(x_fm.dtype)
+            tile=tile, fm_batch=fm_batch, fc_chunk=fc_chunk
+        ).astype(x_fm.dtype)
     dtype = x_fm.dtype
     cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
@@ -989,14 +1027,17 @@ def dprnn_intra_block_tm(
         Np = N + n_pad
 
     CH = 8 if T % 8 == 0 else 1
+    fc_chunk = _intra_fc_chunk() if fc_chunk is None else fc_chunk
     kern = functools.partial(
-        _intra_block_kernel_tm, T, C, CH, k, _PRECISIONS[precision], 1e-5)
+        _intra_block_kernel_tm, T, C, CH, k, fc_chunk and CH > 1,
+        _PRECISIONS[precision], 1e-5)
     lanes = max(C, 128)
     l2c = -(-2 * C // 128) * 128
     isz = 2 if dtype == jnp.bfloat16 else 4
     est = (4 * tile * T * lanes * isz            # x + out, 2 bufs each
            + 2 * T * tile * lanes * 4            # ys_fw / ys_bw
-           + tile * l2c * 4)                     # x2 staging
+           + tile * l2c * 4                      # x2 staging
+           + (2 * CH * tile * lanes * 4 if fc_chunk and CH > 1 else 0))
     vmem = _sized_vmem(est, 1.35)
 
     out = pl.pallas_call(

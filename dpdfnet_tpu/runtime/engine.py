@@ -491,12 +491,13 @@ class Engine:
             ``"throughput"`` — time-vectorised program (one ``forward_spec``
             over all buffered frames).  Same math/state; fp reduction order
             differs across chunkings (~1e-5 vs exact).  Measured on one
-            v5e (dpdfnet8_48khz_hr, 'default', 4-8 hops/call): ~7% cheaper
-            per hop than exact at 128 streams, ~27% at 256 — and it keeps
-            scaling where the exact path plateaus, so peak capacity moves
-            from ~1220 streams/chip (exact) to ~1639 at 256 streams /
-            40 ms buffering, ~1734 at 512 / 80 ms.  The serving mode for
-            frontends that batch hops per call.
+            v5e (dpdfnet8_48khz_hr turbo, round 4, 4-8 hops/call): ~19%
+            cheaper per hop than exact at 128 streams, ~26% at 256 — the
+            h-hop program amortises the T==1 program's per-dispatch fixed
+            work, so peak capacity moves from ~1684 streams/chip (exact,
+            512 streams) to ~2128 at 256 streams / 40 ms buffering, ~2386
+            at 512 / 80 ms.  The serving mode for frontends that batch
+            hops per call.
         """
         B, T, _ = frames.shape
         if self.mesh is not None and B % int(self.mesh.size) != 0:

@@ -48,10 +48,11 @@ class MultiStreamEnhancer:
     ) -> None:
         """``mode``: ``"exact"`` (bit-invariant per-frame program) or
         ``"throughput"`` (time-vectorised; cheaper per hop when callers
-        batch several hops per ``process_many`` call — measured ~7% at
-        128 streams to ~27%+ at 256-512, where it lifts peak capacity
-        from ~1220 to ~1734 streams/chip — see
-        ``runtime.engine.Engine.process_frames``)."""
+        batch several hops per ``process_many`` call — measured round 4
+        at turbo: it lifts peak capacity from ~1684 (exact, 512 streams)
+        to ~2386 streams/chip (512 streams x 8 hops/call) — see
+        ``runtime.engine.Engine.process_frames`` and
+        docs/performance.md)."""
         if engine is None:
             from .api import _get_engine
 

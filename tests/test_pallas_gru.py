@@ -696,3 +696,27 @@ def test_dprnn_intra_block_fc_chunk(T, dt):
         xd, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
         interpret=True, fc_chunk=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+@pytest.mark.parametrize("fm_batch", [None, 4])
+def test_dprnn_intra_block_tm_fc_chunk(fm_batch):
+    """The chunk-batched fc epilogue on the freq-leading (tm) walk is
+    bit-identical math to its per-step epilogue, in both plain and
+    fm (f-major 4-D out) modes."""
+    rng = np.random.default_rng(17)
+    T, C = 16, 8
+    N = 20 if fm_batch is None else 3 * fm_batch
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    base = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fm_batch=fm_batch, fc_chunk=False)
+    got = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fm_batch=fm_batch, fc_chunk=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
