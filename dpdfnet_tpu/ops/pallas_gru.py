@@ -163,6 +163,15 @@ def _inter_pack() -> bool:
         "DPDFNET_TPU_INTER_PACK", "1") not in ("0", "false", "False")
 
 
+def _inter_fcfuse() -> bool:
+    """Fold the inter fc dot into the packed gate dot
+    (DPDFNET_TPU_INTER_FCFUSE, read at trace time; requires the packed
+    kernel and TS > 1) — see _inter_block_kernel_packed.  Default set by
+    round-4 measurement (tools/inter_step_ablation.py)."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTER_FCFUSE", "1") not in ("0", "false", "False")
+
+
 def _pack_inter(wi: Array, bi: Array, wh: Array, bh: Array, dtype):
     """Pack inter-GRU weights for the packed-gate kernel.
 
@@ -196,14 +205,24 @@ def _store_inter_out(out_ref, s, v, FM):
         out_ref[j, s] = v[j * Brows:(j + 1) * Brows]
 
 
-def _inter_block_kernel_packed(TS: int, H: int, FM: int, precision,
-                               eps: float,
+def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
+                               precision, eps: float,
                                h0_ref, x_ref, wp_ref, bp_ref,
                                wfc_ref, bfc_ref, g_ref, bln_ref,
                                out_ref, hl_ref, h_scr, xh_scr):
     """Packed-gate variant of :func:`_inter_block_kernel` — see
     :func:`_inter_pack`.  Same math, same output, one full-depth gate dot
-    per step instead of two half-depth ones."""
+    per step instead of two half-depth ones.
+
+    ``fcfuse`` (round 4): the fc dot FOLDS into the packed gate dot as C
+    extra columns against the h half (wp_ref is [(C+H), 4H + C] with the
+    tail columns [0; Wfc]) — each step's dot also emits ``fc(h_{s-1})``
+    from the h staged for the gates, written to ``out[s-1]`` one step
+    deferred; the cell's last position gets an immediate tail dot after
+    the loop.  Removes the separate half-depth fc dot from the per-step
+    critical path (effective MXU/step 2C·4H + 2·C·C → 2C·(4H+C), −11%)
+    at identical math: s == 0's fc output duplicates the previous cell's
+    tail dot and is discarded."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -212,6 +231,16 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, precision,
 
     h = h_scr[:]
     H2 = 2 * H
+    H4 = 4 * H
+
+    def _ln_res(y, x):
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + eps)
+        yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
+        return (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype)
+
+    x_prev = None
     for s in range(TS):
         x = x_ref[s].astype(h_scr.dtype)
         # lane-staged [x_t | h] (jnp.concatenate of offset-layout vector
@@ -219,19 +248,22 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, precision,
         xh_scr[:, :H] = x
         xh_scr[:, H:] = h
         d = _kdot(xh_scr[:], wp_ref[:], precision) + bp_ref[0:1, :]
+        if fcfuse and s > 0:
+            _store_inter_out(
+                out_ref, s - 1,
+                _ln_res(d[:, H4:] + bfc_ref[0:1, :], x_prev), FM)
         r = _sigmoid(d[:, :H])
         z = _sigmoid(d[:, H:H2])
-        n = jnp.tanh(d[:, H2:H2 + H] + r * d[:, H2 + H:])
+        n = jnp.tanh(d[:, H2:H2 + H] + r * d[:, H2 + H:H4])
         h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
 
+        if not fcfuse:
+            y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
+            _store_inter_out(out_ref, s, _ln_res(y, x), FM)
+        x_prev = x
+    if fcfuse:
         y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-        yn = (y - mu) * jax.lax.rsqrt(var + eps)
-        yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-        _store_inter_out(out_ref, s,
-                         (x + yn.astype(h_scr.dtype)).astype(out_ref.dtype),
-                         FM)
+        _store_inter_out(out_ref, TS - 1, _ln_res(y, x_prev), FM)
     h_scr[:] = h
     hl_ref[0] = h
 
@@ -808,6 +840,7 @@ def dprnn_intra_block(
 
 
 def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
+                           static_walk: bool,
                            precision, eps: float,
                            x_ref, wi_ref, wh_ref, b_ref,
                            wfc_ref, bfc_ref, g_ref, bln_ref,
@@ -831,30 +864,55 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
     C2 = 2 * C
     cdt = scrf.dtype
 
-    def chunk(ci, h):
-        base = pl.multiple_of(ci * CH, CH)
-        rbase = pl.multiple_of(T - CH - ci * CH, CH)
-        xf_c = x_ref[pl.ds(base, CH)].astype(cdt)          # [CH, tile, C]
-        xb_c = x_ref[pl.ds(rbase, CH)].astype(cdt)
-        for k in range(CH):
-            # stage the lane concat [xf | xb] as in the row-major kernel
-            # (offset-layout concats are unsupported; tm_prex2 proved an
-            # XLA-prebuilt 2C input is slower than this store)
-            x2s[:, :C] = xf_c[k]
-            x2s[:, C:] = xb_c[CH - 1 - k]
+    if static_walk:
+        # Fully static unrolled walk (round 4): a python loop over all T
+        # steps with per-step STATIC leading-dim loads ``x_ref[t]`` — no
+        # [CH, tile, C] chunk temporaries (those spill ~2*CH*tile*C/2048
+        # vregs per chunk and every per-step slice becomes a refill) and
+        # no fori_loop.  Measured -6% kernel step time vs the chunked
+        # fori walk at the shipped shapes (tm_allstatic 1578 vs tm_full
+        # 1679 ns/step raw at 240 reps, tools/intra_step_ablation.py);
+        # this also mirrors the inter kernel's (static TS-block)
+        # structure.  Static leading-dim indexing is legal for bf16 at
+        # ANY t, so this form has no T % 8 constraint of its own.
+        h = jnp.zeros((tile, C2), cdt)
+        for t in range(T):
+            x2s[:, :C] = x_ref[t].astype(cdt)
+            x2s[:, C:] = x_ref[T - 1 - t].astype(cdt)
             xp = _kdot(x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
             hh = _kdot(h, wh_ref[:], precision) + b_ref[1:2, :]
             r = _sigmoid(xp[:, :C2] + hh[:, :C2])
             z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
             n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
             h = ((1.0 - z) * n + z * h).astype(cdt)
-            hf = h[:, :C]
-            hb = h[:, C:]
-            scrf[pl.ds(base + k, 1)] = hf[None]
-            scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
-        return h
+            scrf[t] = h[:, :C]
+            scrb[T - 1 - t] = h[:, C:]
+    else:
+        def chunk(ci, h):
+            base = pl.multiple_of(ci * CH, CH)
+            rbase = pl.multiple_of(T - CH - ci * CH, CH)
+            xf_c = x_ref[pl.ds(base, CH)].astype(cdt)      # [CH, tile, C]
+            xb_c = x_ref[pl.ds(rbase, CH)].astype(cdt)
+            for k in range(CH):
+                # stage the lane concat [xf | xb] as in the row-major
+                # kernel (offset-layout concats are unsupported; tm_prex2
+                # proved an XLA-prebuilt 2C input is slower than this
+                # store)
+                x2s[:, :C] = xf_c[k]
+                x2s[:, C:] = xb_c[CH - 1 - k]
+                xp = _kdot(x2s[:], wi_ref[:], precision) + b_ref[0:1, :]
+                hh = _kdot(h, wh_ref[:], precision) + b_ref[1:2, :]
+                r = _sigmoid(xp[:, :C2] + hh[:, :C2])
+                z = _sigmoid(xp[:, C2:2 * C2] + hh[:, C2:2 * C2])
+                n = jnp.tanh(xp[:, 2 * C2:] + r * hh[:, 2 * C2:])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+                hf = h[:, :C]
+                hb = h[:, C:]
+                scrf[pl.ds(base + k, 1)] = hf[None]
+                scrb[pl.ds(rbase + (CH - 1 - k), 1)] = hb[None]
+            return h
 
-    jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
+        jax.lax.fori_loop(0, T // CH, chunk, jnp.zeros((tile, C2), cdt))
 
     # Epilogue: fc + LayerNorm + residual, x reloaded with clean leading
     # slices.  The out block is the row-major plane viewed as 2-D
@@ -866,7 +924,15 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
     pair = CH % 2 == 0
     Brows = tile // FM if FM else 0
     for c0 in range(0, T, CH):
-        x_c = x_ref[pl.ds(c0, CH)].astype(cdt)             # [CH, tile, C]
+        if static_walk:
+            # per-step static loads (no spilled [CH, tile, C] chunk value)
+            def _xres(j):
+                return x_ref[j].astype(cdt)
+        else:
+            x_c = x_ref[pl.ds(c0, CH)].astype(cdt)         # [CH, tile, C]
+
+            def _xres(j, _x_c=x_c, _c0=c0):
+                return _x_c[j - _c0]
 
         if fc_chunk and CH > 1:
             # Chunk-batched fc (round-4 probe on the tm walk — the round-2
@@ -884,7 +950,7 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
 
             def _res(j):
                 k = j - c0
-                return x_c[k] + ync[k * tile:(k + 1) * tile]
+                return _xres(j) + ync[k * tile:(k + 1) * tile]
         else:
             def _res(j):
                 y = _kdot(
@@ -894,7 +960,7 @@ def _intra_block_kernel_tm(T: int, C: int, CH: int, FM: int, fc_chunk: bool,
                 var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
                 yn = (y - mu) * jax.lax.rsqrt(var + eps)
                 yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
-                return x_c[j - c0] + yn.astype(cdt)
+                return _xres(j) + yn.astype(cdt)
 
         if FM:
             # f-major 4-D out block [FM, T, B, C]: the tile's rows are FM
@@ -943,9 +1009,26 @@ def intra_tm_enabled() -> bool:
         "DPDFNET_TPU_INTRA_TM", "1") not in ("0", "false", "False")
 
 
+def _intra_static() -> bool:
+    """Fully static unrolled tm walk (DPDFNET_TPU_INTRA_STATIC, read at
+    trace time; default ON): python-unrolled per-step static leading-dim
+    loads instead of the CH-chunked fori_loop walk.  The [CH, tile, C]
+    chunk temporaries spill to VMEM (~512 f32 vregs each at tile 512)
+    and every per-step slice becomes a refill; the static form lets
+    Mosaic schedule each step's single [tile, C] load directly.
+    MEASURED: tm_allstatic 1578 vs tm_full 1679 ns/step raw (-6%, 240
+    reps, tile 512 T 48 bf16; floors are identical — the win is all in
+    the math path's load scheduling).  NB the round-2/3 ablation
+    magnitudes carried a ~23 ms/call relay-dispatch bias at --reps 30
+    (~2.3 us/step); rankings held but absolute numbers from those rounds
+    are wrong — see tools/intra_step_ablation.py."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTRA_STATIC", "1") not in ("0", "false", "False")
+
+
 @functools.partial(
     jax.jit, static_argnames=("precision", "interpret", "tile", "fm_batch",
-                              "fc_chunk"))
+                              "fc_chunk", "static_walk"))
 def dprnn_intra_block_tm(
     x_fm: Array,
     wi2: Array,
@@ -961,6 +1044,7 @@ def dprnn_intra_block_tm(
     tile: int | None = None,
     fm_batch: int | None = None,
     fc_chunk: bool | None = None,
+    static_walk: bool | None = None,
 ) -> Array:
     """Fused DPRNN intra stage on a freq-leading plane.
 
@@ -994,7 +1078,8 @@ def dprnn_intra_block_tm(
         return dprnn_intra_block_tm(
             x_fm.astype(jnp.float32), wi2, wh2, b2, wfc, bfc, g, bln,
             precision=precision, interpret=interpret,
-            tile=tile, fm_batch=fm_batch, fc_chunk=fc_chunk
+            tile=tile, fm_batch=fm_batch, fc_chunk=fc_chunk,
+            static_walk=static_walk,
         ).astype(x_fm.dtype)
     dtype = x_fm.dtype
     cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
@@ -1028,9 +1113,10 @@ def dprnn_intra_block_tm(
 
     CH = 8 if T % 8 == 0 else 1
     fc_chunk = _intra_fc_chunk() if fc_chunk is None else fc_chunk
+    static_walk = _intra_static() if static_walk is None else static_walk
     kern = functools.partial(
         _intra_block_kernel_tm, T, C, CH, k, fc_chunk and CH > 1,
-        _PRECISIONS[precision], 1e-5)
+        static_walk, _PRECISIONS[precision], 1e-5)
     lanes = max(C, 128)
     l2c = -(-2 * C // 128) * 128
     isz = 2 if dtype == jnp.bfloat16 else 4
@@ -1148,7 +1234,7 @@ def _inter_block_kernel(TS: int, H: int, hoist: bool, FM: int, precision,
 
 @functools.partial(jax.jit,
                    static_argnames=("precision", "interpret", "ts", "pack",
-                                    "fm_batch"))
+                                    "fm_batch", "fcfuse"))
 def dprnn_inter_block(
     x_tm: Array,
     h0: Array,
@@ -1166,6 +1252,7 @@ def dprnn_inter_block(
     ts: int | None = None,
     pack: bool | None = None,
     fm_batch: int | None = None,
+    fcfuse: bool | None = None,
 ) -> Tuple[Array, Array]:
     """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
 
@@ -1232,9 +1319,18 @@ def dprnn_inter_block(
 
     if pack:
         wp, bp = _pack_inter(wi, bi, wh, bh, cdt)
+        fcfuse = (_inter_fcfuse() if fcfuse is None else fcfuse) and TS > 1
+        if fcfuse:
+            # extend wp with the fc columns [0; Wfc] (see fcfuse in
+            # _inter_block_kernel_packed); fc bias stays in bfc
+            wpx = jnp.zeros((2 * C, 4 * C + C), cdt)
+            wpx = wpx.at[:, :4 * C].set(wp)
+            wpx = wpx.at[C:, 4 * C:].set(wfc.astype(cdt))
+            wp = wpx
+            bp = jnp.pad(bp, ((0, 0), (0, C)))
         kern = functools.partial(
-            _inter_block_kernel_packed, TS, C, c, _PRECISIONS[precision],
-            1e-5)
+            _inter_block_kernel_packed, TS, C, c, fcfuse,
+            _PRECISIONS[precision], 1e-5)
         w_args = (wp, bp)
         scratch = [pltpu.VMEM((tile, 2 * C), cdt)]               # [x_t | h]
     else:

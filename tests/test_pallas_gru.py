@@ -720,3 +720,60 @@ def test_dprnn_intra_block_tm_fc_chunk(fm_batch):
         x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
         interpret=True, fm_batch=fm_batch, fc_chunk=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+@pytest.mark.parametrize("fm_batch", [None, 4])
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_dprnn_intra_block_tm_static_walk(fm_batch, dt):
+    """The fully static unrolled tm walk (DPDFNET_TPU_INTRA_STATIC,
+    default ON) is bit-identical to the CH-chunked fori walk — same
+    per-step op sequence, only the load/loop structure differs."""
+    rng = np.random.default_rng(21)
+    T, C = 16, 8
+    N = 20 if fm_batch is None else 3 * fm_batch
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32)).astype(dt)
+
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    base = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fm_batch=fm_batch, static_walk=False)
+    got = pallas_gru.dprnn_intra_block_tm(
+        x, wi2, wh2, b2, wfc, bfc, g, bln, precision="highest",
+        interpret=True, fm_batch=fm_batch, static_walk=True)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(base, np.float32))
+
+
+@pytest.mark.parametrize("fm_batch", [None, 4])
+@pytest.mark.parametrize("ts", [4, 8])
+def test_dprnn_inter_block_fcfuse(fm_batch, ts):
+    """The fc-fused packed kernel (fc folded into the gate dot as extra
+    columns, one-step-deferred out writes — see fcfuse in
+    pallas_gru._inter_block_kernel_packed) matches the plain packed
+    kernel exactly: the fused fc columns contract the same h against the
+    same Wfc, plus exact zeros from the x half."""
+    rng = np.random.default_rng(23)
+    C, T = 8, 16
+    N = 12 if fm_batch is None else 3 * fm_batch
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, N, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32) * 0.2)
+
+    base = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln,
+        precision="highest", interpret=True, ts=ts, pack=True,
+        fm_batch=fm_batch, fcfuse=False)
+    got = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln,
+        precision="highest", interpret=True, ts=ts, pack=True,
+        fm_batch=fm_batch, fcfuse=True)
+    np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                               np.asarray(base[0], np.float32), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
