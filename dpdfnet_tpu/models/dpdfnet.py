@@ -146,7 +146,15 @@ def _dprnn_block(
 def _dprnn(
     p_blocks: List[Params], x: Array, hs: List[Array],
     stacked: Optional[Params] = None,
-) -> Tuple[Array, List[Array]]:
+    out_fm: bool = False,
+):
+    """Run the DPRNN stack.  Returns ``(out, new_hs)``; with
+    ``out_fm=True`` returns ``(out, new_hs, layout)`` where layout
+    ``"fm"`` means out is the stack's native freq-leading plane
+    ``[Fq, T, B, C]`` (the transpose back to batch-major was skipped —
+    callers whose next op contracts the flattened ``(f c)`` axis fold
+    it into that contraction, see ``ops.nn.grouped_linear_fm``) and
+    ``"bt"`` means the usual ``[B, T, Fq, C]``."""
     if len(p_blocks) != len(hs):
         raise ValueError(
             f"state carries {len(hs)} DPRNN block hiddens but the model has "
@@ -163,19 +171,21 @@ def _dprnn(
                 precision=onn._ambient_precision(),
                 interpret=pallas_gru.interpret_default(),
             )
-            return jnp.swapaxes(out, 0, 1), list(hl)
+            out = jnp.swapaxes(out, 0, 1)
+            return (out, list(hl), "bt") if out_fm else (out, list(hl))
         if all(p["intra"].get("packed") is not None for p in p_blocks):
-            return _dprnn_fused(p_blocks, x, hs)
+            return _dprnn_fused(p_blocks, x, hs, out_fm=out_fm)
     new_hs: List[Array] = []
     for p, h in zip(p_blocks, hs):
         x, h_new = _dprnn_block(p, x, h)
         new_hs.append(h_new)
-    return x, new_hs
+    return (x, new_hs, "bt") if out_fm else (x, new_hs)
 
 
 def _dprnn_fused(
-    p_blocks: List[Params], x: Array, hs: List[Array]
-) -> Tuple[Array, List[Array]]:
+    p_blocks: List[Params], x: Array, hs: List[Array],
+    out_fm: bool = False,
+):
     """Time-major DPRNN stack on fused Pallas kernels.
 
     In ``[T, B, Fq, C]`` layout the intra stage's rows ``(T*B, Fq, C)`` and
@@ -240,6 +250,13 @@ def _dprnn_fused(
             plane = out4.reshape(Fq, T * B, C)
             new_hs.append(jnp.swapaxes(
                 h_new.reshape(Fq, B, C), 0, 1).astype(x.dtype))
+        if out_fm:
+            # hand back the chain's native freq-leading plane — the
+            # exit transpose (one of the two remaining big-plane XLA
+            # relayouts) never happens; the caller contracts (f, c)
+            # directly (grouped_linear_fm)
+            return (plane.reshape(Fq, T, B, C).astype(x.dtype), new_hs,
+                    "fm")
         out_tb = jnp.transpose(
             plane.reshape(Fq, T, B, C), (2, 1, 0, 3))  # [B, T, Fq, C]
         return out_tb.astype(x.dtype), new_hs
@@ -284,7 +301,8 @@ def _dprnn_fused(
         # keep the carried hidden at the model's state dtype (the inter
         # kernel returns its f32 compute dtype under bf16 plane IO)
         new_hs.append(h_new.reshape(B, Fq, C).astype(x.dtype))
-    return jnp.swapaxes(xt, 0, 1).astype(x.dtype), new_hs
+    out = jnp.swapaxes(xt, 0, 1).astype(x.dtype)
+    return (out, new_hs, "bt") if out_fm else (out, new_hs)
 
 
 # --------------------------------------------------------------------------- #
@@ -395,8 +413,19 @@ def _encoder(
                            act="relu")
     e3, _ = onn.conv_block(p["erb_conv3"], e2, kt=1, kf=kfc, fstride=s3,
                            act="relu")
-    e3d, new_dprnn_erb = _dprnn(p["dprnn_erb"], e3, state["dprnn_erb"],
-                                stacked=p.get("dprnn_erb_stacked"))
+    # hr: e3d feeds ONLY the flattened-(f c) erb_fc_emb contraction, so
+    # ask for the stack's native freq-leading plane and fold the exit
+    # transpose into that contraction (grouped_linear_fm); non-hr uses
+    # the flat plane directly and keeps the batch-major layout.
+    if cfg.hr:
+        e3d, new_dprnn_erb, e3d_layout = _dprnn(
+            p["dprnn_erb"], e3, state["dprnn_erb"],
+            stacked=p.get("dprnn_erb_stacked"), out_fm=True)
+    else:
+        e3d, new_dprnn_erb = _dprnn(
+            p["dprnn_erb"], e3, state["dprnn_erb"],
+            stacked=p.get("dprnn_erb_stacked"))
+        e3d_layout = "bt"
 
     c0, new_df_tail = onn.conv_block(
         p["df_conv0"], feat_spec, kt=kt, kf=kf, act="relu",
@@ -404,15 +433,24 @@ def _encoder(
     )
     c1, _ = onn.conv_block(p["df_conv1"], c0, kt=1, kf=kfc, fstride=2,
                            act="relu")
-    c1d, new_dprnn_df = _dprnn(p["dprnn_df"], c1, state["dprnn_df"],
-                               stacked=p.get("dprnn_df_stacked"))
+    c1d, new_dprnn_df, c1d_layout = _dprnn(
+        p["dprnn_df"], c1, state["dprnn_df"],
+        stacked=p.get("dprnn_df_stacked"), out_fm=True)
 
     B, T = feat_erb.shape[:2]
-    cemb = c1d.reshape(B, T, -1)                                  # [(f c)]
-    cemb = onn.grouped_linear(p["df_fc_emb"], cemb, act="relu")
-    emb = e3d.reshape(B, T, -1)
+    if c1d_layout == "fm":
+        cemb = onn.grouped_linear_fm(p["df_fc_emb"], c1d, act="relu")
+    else:
+        cemb = onn.grouped_linear(p["df_fc_emb"], c1d.reshape(B, T, -1),
+                                  act="relu")                     # [(f c)]
     if cfg.hr:
-        emb = onn.grouped_linear(p["erb_fc_emb"], emb, act="relu")
+        if e3d_layout == "fm":
+            emb = onn.grouped_linear_fm(p["erb_fc_emb"], e3d, act="relu")
+        else:
+            emb = onn.grouped_linear(p["erb_fc_emb"],
+                                     e3d.reshape(B, T, -1), act="relu")
+    else:
+        emb = e3d.reshape(B, T, -1)
     emb = jnp.concatenate([emb, cemb], axis=-1)
     emb, new_enc_gru = _squeezed_gru(p["emb_gru"], emb, state["enc_gru"],
                                     skip=cfg.emb_gru_skip)

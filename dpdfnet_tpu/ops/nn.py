@@ -23,6 +23,7 @@ Reference semantics being matched (with citations):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -276,6 +277,61 @@ def grouped_linear(p: dict, x: Array, act: Optional[str] = None) -> Array:
     xg = x.reshape(lead + (g, ig))
     y = jnp.einsum("...gi,gio->...go", xg, p["w"].astype(x.dtype))
     y = y.reshape(lead + (g * og,)) + p["b"].astype(x.dtype)
+    return apply_act(y, act)
+
+
+def grouped_linear_fm(p: dict, x_fm: Array, act: Optional[str] = None
+                      ) -> Array:
+    """:func:`grouped_linear` applied to a freq-leading 4-D plane.
+
+    ``x_fm: [F, T, B, C]`` is the DPRNN stack's native output layout (see
+    ``pallas_gru.dprnn_inter_block`` fm mode); the flattened feature the
+    grouped linear contracts is the f-major ``(f, c)`` axis of the
+    ``[B, T, F*C]`` view, so the contraction can run directly on the
+    plane — contracting ``(f_local, c)`` per group with ``(t, b)`` as
+    contiguous free dims — and the ``[F,T,B,C] -> [B,T,F,C]`` relayout
+    of the big plane (measured ~6x over HBM bandwidth as an XLA
+    transpose) never materialises.  Requires ``G | F`` (every shipped
+    config: groups split whole f-ranges).  Math identical to
+    ``grouped_linear(p, x_fm.transpose(2,1,0,3).reshape(B,T,F*C))`` up
+    to dot-order rounding.
+    """
+    g, ig, og = p["w"].shape
+    F, T, B, C = x_fm.shape
+    if ig % C == 0:
+        # group boundaries on whole f-slices: direct per-group contraction
+        fg = ig // C
+        if fg * g != F:
+            raise ValueError(
+                f"grouped_linear_fm: w {p['w'].shape} does not cover the "
+                f"[{F},{T},{B},{C}] plane")
+        xg = x_fm.reshape(g, fg, T, B, C)
+        wg = p["w"].reshape(g, fg, C, og).astype(x_fm.dtype)
+        y = jnp.einsum("gftbc,gfco->btgo", xg, wg)
+    else:
+        # group boundaries cut inside f-slices (e.g. df_fc_emb: ig=96,
+        # C=64): contract at SUPERGROUP granularity — P = lcm(ig,C)/C
+        # f-slices hold Q = lcm/ig whole groups; each group's [ig, og]
+        # weight scatters into a zero-padded [P*C, Q*og] block at its
+        # flat offset.  The zeros cost Q x the grouped MACs (Q = 2 for
+        # every shipped config) — orders of magnitude below the big-plane
+        # transpose this path exists to avoid.
+        lcm = ig * C // math.gcd(ig, C)
+        P, Q = lcm // C, lcm // ig
+        gs = g // Q
+        if gs * Q != g or gs * P != F:
+            raise ValueError(
+                f"grouped_linear_fm: w {p['w'].shape} does not tile the "
+                f"[{F},{T},{B},{C}] plane into supergroups")
+        wq = p["w"].reshape(gs, Q, ig, og)
+        wpad = jnp.zeros((gs, P * C, Q * og), p["w"].dtype)
+        for q in range(Q):
+            wpad = wpad.at[:, q * ig:(q + 1) * ig,
+                           q * og:(q + 1) * og].set(wq[:, q])
+        wg = wpad.reshape(gs, P, C, Q * og).astype(x_fm.dtype)
+        xg = x_fm.reshape(gs, P, T, B, C)
+        y = jnp.einsum("gptbc,gpco->btgo", xg, wg)
+    y = y.reshape(B, T, g * og) + p["b"].astype(x_fm.dtype)
     return apply_act(y, act)
 
 

@@ -247,3 +247,31 @@ def test_fuse_subpixel_transforms_bias():
     assert fused.get("pw") is None and "w_fm" in fused
     got = subpixel_block(fused, x, kf=3, fstride=s, act=None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("F,T,B,C,G,OG", [
+    (16, 3, 4, 8, 4, 6),     # whole-f groups (ig = 4*C)
+    (6, 3, 4, 8, 4, 5),      # supergroups: ig = 12, C = 8 -> P=3, Q=2
+])
+def test_grouped_linear_fm_matches_grouped_linear(F, T, B, C, G, OG):
+    """grouped_linear_fm contracts the freq-leading plane directly and
+    matches grouped_linear on the transposed-and-flattened input (both
+    whole-f groups and the supergroup zero-padded form)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dpdfnet_tpu.ops import nn as onn
+
+    rng = np.random.default_rng(5)
+    plane = jnp.asarray(rng.normal(size=(F, T, B, C)).astype(np.float32))
+    p = {"w": jnp.asarray(
+            rng.normal(size=(G, F * C // G, OG)).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.normal(size=(G * OG,)).astype(np.float32))}
+
+    flat = jnp.transpose(plane, (2, 1, 0, 3)).reshape(B, T, F * C)
+    ref = onn.grouped_linear(p, flat, act="relu")
+    got = onn.grouped_linear_fm(p, plane, act="relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -187,7 +187,9 @@ def test_dprnn_fused_stack_intra_tm(monkeypatch):
     from dpdfnet_tpu.models import dpdfnet as md
 
     rng = np.random.default_rng(12)
-    B, T, Fq, C, K = 8, 4, 16, 8, 2     # B % 8 == 0: the fm chain engages
+    B, T, Fq, C, K = 32, 2, 16, 8, 2    # B >= 32: the fm chain engages
+    # (B was 8 until round 4 — the tm floor raised to 32 in e88c1bf made
+    # that compare two identical row-major runs)
     blocks, hs = [], []
     for _ in range(K):
         p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
@@ -777,3 +779,41 @@ def test_dprnn_inter_block_fcfuse(fm_batch, ts):
     np.testing.assert_allclose(np.asarray(got[0], np.float32),
                                np.asarray(base[0], np.float32), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
+def test_dprnn_fused_out_fm_layout(monkeypatch):
+    """out_fm=True returns the stack's native freq-leading plane — the
+    transpose the caller folds into its (f c) contraction — identical in
+    content to the batch-major output."""
+    from dpdfnet_tpu.models import dpdfnet as md
+
+    rng = np.random.default_rng(31)
+    B, T, Fq, C = 32, 2, 16, 8          # B >= 32: the fm chain engages
+    p_fw, p_bw = _params(rng, C, C), _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(2 * C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    gi, bi = _lnp(rng, C)
+    gg = _params(rng, C, C)
+    wfc2 = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g2, b2_ = _lnp(rng, C)
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    blocks = [{
+        "intra": {"packed": {"wi2": wi2, "wh2": wh2, "b2": b2},
+                  "fc": {"w": wfc, "b": bfc},
+                  "ln": {"g": gi, "b": bi}},
+        "inter": {"gru": gg, "fc": {"w": wfc2, "b": bfc2},
+                  "ln": {"g": g2, "b": b2_}},
+    }]
+    hs = [jnp.zeros((B, Fq, C), jnp.float32)]
+    x = jnp.asarray(rng.normal(size=(B, T, Fq, C)).astype(np.float32))
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DPDFNET_TPU_INTRA_TM", "1")
+    ref, hs_ref = md._dprnn_fused(blocks, x, hs)
+    got, hs_got, layout = md._dprnn_fused(blocks, x, hs, out_fm=True)
+    assert layout == "fm" and got.shape == (Fq, T, B, C)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(got, (2, 1, 0, 3))), np.asarray(ref))
+    for a, b in zip(hs_got, hs_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
