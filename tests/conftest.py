@@ -32,6 +32,24 @@ from dpdfnet_tpu.utils import compile_cache  # noqa: E402
 
 compile_cache.enable()
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    """Release compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables in
+    one process; past ~160 compiles the CPU client has been observed to
+    segfault inside compilation / cache deserialization (order-dependent,
+    not reproducible on any subset).  Modules rarely share programs, so
+    dropping the jit caches at module boundaries bounds process state at
+    negligible recompile cost.
+    """
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_ROOT = "/root/reference"
 
 
