@@ -226,8 +226,16 @@ def _dprnn_fused(
     new_hs: List[Array] = []
     if use_tm:
         # one transpose into the freq-leading chain; the kernels keep the
-        # layout cycle closed until the stack exit
-        plane = jnp.transpose(xt, (2, 0, 1, 3)).reshape(Fq, T * B, C)
+        # layout cycle closed until the stack exit.  Env-gated Pallas
+        # relayout (DPDFNET_TPU_ENTRY_RELAYOUT) replaces the XLA
+        # transpose with block DMAs + static sublane extracts and folds
+        # the bf16 plane cast into its store (see pallas_gru.relayout_fm).
+        if pallas_gru.entry_relayout_enabled():
+            plane = pallas_gru.relayout_fm(
+                x, out_dtype=xt.dtype, interpret=interp,
+            ).reshape(Fq, T * B, C)
+        else:
+            plane = jnp.transpose(xt, (2, 0, 1, 3)).reshape(Fq, T * B, C)
         for p, h in zip(p_blocks, hs):
             intra, inter = p["intra"], p["inter"]
             pk = intra["packed"]

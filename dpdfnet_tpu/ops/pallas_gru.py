@@ -1011,7 +1011,8 @@ def intra_tm_enabled() -> bool:
 
 def _intra_static() -> bool:
     """Fully static unrolled tm walk (DPDFNET_TPU_INTRA_STATIC, read at
-    trace time; default ON): python-unrolled per-step static leading-dim
+    trace time; default ON **for k <= 1 tiles only** — see the k gate in
+    dprnn_intra_block_tm): python-unrolled per-step static leading-dim
     loads instead of the CH-chunked fori_loop walk.  The [CH, tile, C]
     chunk temporaries spill to VMEM (~512 f32 vregs each at tile 512)
     and every per-step slice becomes a refill; the static form lets
@@ -1113,7 +1114,16 @@ def dprnn_intra_block_tm(
 
     CH = 8 if T % 8 == 0 else 1
     fc_chunk = _intra_fc_chunk() if fc_chunk is None else fc_chunk
-    static_walk = _intra_static() if static_walk is None else static_walk
+    if static_walk is None:
+        # k gate (round 4, measured on v5e streaming points): the static
+        # walk wins only at k <= 1 (one time-frame per tile — offline
+        # b384 2855 vs 2743, exact s128 0.802 vs 0.848 ms/hop, thr
+        # s512h8 2.051 vs 2.102); at k > 1 it LOSES (thr s256h4 k=2:
+        # 1.279 vs 1.215; thr s128h4 k=4: 0.678 vs 0.667) — the k>1
+        # epilogue's FM sub-stores per step interleave badly with the
+        # static form's per-step reloads.  The chunked fori walk stays
+        # the default there.
+        static_walk = _intra_static() and k <= 1
     kern = functools.partial(
         _intra_block_kernel_tm, T, C, CH, k, fc_chunk and CH > 1,
         static_walk, _PRECISIONS[precision], 1e-5)
@@ -2118,3 +2128,76 @@ def dprnn_inter_block_v2(
         out = out[:, :N]
         h_last = h_last[:N]
     return out, h_last
+
+
+# ---------------------------------------------------------------------------
+# Entry relayout: batch-major conv plane -> freq-leading chain plane
+# ---------------------------------------------------------------------------
+
+
+def entry_relayout_enabled() -> bool:
+    """Use the Pallas entry-relayout kernel for the tm chain's input
+    transpose (DPDFNET_TPU_ENTRY_RELAYOUT, read at trace time)?
+
+    Round-4 probe: XLA's big-plane transposes run ~6x over HBM
+    bandwidth on v5e (measured round 3: ~3.9 ms per 264 MB f32 plane);
+    this kernel does the same ``[B, T, F, C] -> [F, T, B, C]`` permute
+    with near-perfect block DMAs and static in-VMEM sublane extracts.
+    Default reflects the measured e2e verdict (see relayout_fm)."""
+    return os.environ.get(
+        "DPDFNET_TPU_ENTRY_RELAYOUT", "0") not in ("0", "false", "False")
+
+
+def _relayout_kernel(FB: int, TT: int, x_ref, o_ref):
+    # x_ref: [BB, TT, FB, C] block of the batch-major source;
+    # o_ref: [FB, TT, BB, C] block of the freq-leading destination.
+    # FB*TT static strided loads + contiguous stores; lanes (C) untouched.
+    for f in range(FB):
+        for t in range(TT):
+            o_ref[f, t] = x_ref[:, t, f, :].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret"))
+def relayout_fm(x: Array, *, out_dtype=None, interpret: bool = False):
+    """``[B, T, F, C] -> [F, T, B, C]`` permute as a Pallas kernel.
+
+    The tm-chain entry relayout (models.dpdfnet._dprnn_fused): the conv
+    stages emit batch-major planes, the freq-chained DPRNN stack consumes
+    a freq-leading one.  Rather than an XLA transpose (which on v5e runs
+    ~6x over bandwidth for this minor-dim-preserving permute), tile the
+    plane into ``[BB, TT, FB, C]`` blocks whose in/out DMAs are runs of
+    ``FB*C`` / ``BB*C`` contiguous elements, and do the permute with
+    ``FB*TT`` static sublane extracts per block in VMEM.  ``out_dtype``
+    folds the f32->bf16 plane cast (tiers with bf16 plane IO) into the
+    store.  Falls back to ``jnp.transpose`` when a dim is not a multiple
+    of 8 (shipped configs: F, B multiples of 8; T a multiple of 8 per
+    segment).
+    """
+    B, T, F, C = x.shape
+    dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    if F % 8 or T % 8 or B % 8:
+        return jnp.transpose(x, (2, 1, 0, 3)).astype(dtype)
+    FB, TT = 8, 8
+    BB = 128
+    while B % BB:
+        BB //= 2
+    kern = functools.partial(_relayout_kernel, FB, TT)
+    isz = max(jnp.dtype(x.dtype).itemsize, jnp.dtype(dtype).itemsize)
+    lanes = max(C, 128)
+    est = 4 * BB * TT * FB * lanes * isz          # in + out, 2 bufs each
+    out = pl.pallas_call(
+        kern,
+        grid=(F // FB, T // TT, B // BB),
+        in_specs=[pl.BlockSpec((BB, TT, FB, C), lambda f, t, b: (b, t, f, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((FB, TT, BB, C), lambda f, t, b: (f, t, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, T, B, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_sized_vmem(est, 1.35),
+        ),
+        interpret=interpret,
+    )(x)
+    return out

@@ -817,3 +817,57 @@ def test_dprnn_fused_out_fm_layout(monkeypatch):
         np.asarray(jnp.transpose(got, (2, 1, 0, 3))), np.asarray(ref))
     for a, b in zip(hs_got, hs_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("B,T,F,C,dt_out", [
+    (32, 16, 40, 64, None),          # kernel path, dtype pass-through
+    (8, 8, 48, 64, "bfloat16"),      # kernel path + cast fold
+    (12, 16, 40, 64, None),          # B % 8 != 0 -> XLA fallback
+    (32, 10, 40, 64, None),          # T % 8 != 0 -> XLA fallback
+])
+def test_relayout_fm(B, T, F, C, dt_out):
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, F, C)).astype(np.float32))
+    kw = {} if dt_out is None else {"out_dtype": jnp.dtype(dt_out)}
+    got = pallas_gru.relayout_fm(x, interpret=True, **kw)
+    want = jnp.transpose(x, (2, 1, 0, 3))
+    if dt_out is not None:
+        want = want.astype(jnp.dtype(dt_out))
+    assert got.dtype == want.dtype and got.shape == (F, T, B, C)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_dprnn_fused_entry_relayout(monkeypatch):
+    """DPDFNET_TPU_ENTRY_RELAYOUT produces the identical fm chain."""
+    import dpdfnet_tpu.models.dpdfnet as md
+
+    rng = np.random.default_rng(11)
+    B, T, Fq, C = 32, 16, 8, 64
+
+    def glorot(*s):
+        return jnp.asarray(rng.normal(size=s, scale=0.1).astype(np.float32))
+
+    def gru_p():
+        return {"wi": glorot(C, 3 * C), "bi": glorot(3 * C),
+                "wh": glorot(C, 3 * C), "bh": glorot(3 * C)}
+
+    p_fw, p_bw = gru_p(), gru_p()
+    wi2, wh2, b2 = pallas_gru._pack_bidir(p_fw, p_bw, jnp.float32)
+    blocks = [{
+        "intra": {"packed": {"wi2": wi2, "wh2": wh2, "b2": b2},
+                  "fc": {"w": glorot(2 * C, C), "b": glorot(C)},
+                  "ln": {"g": glorot(C), "b": glorot(C)}},
+        "inter": {"gru": gru_p(), "fc": {"w": glorot(C, C), "b": glorot(C)},
+                  "ln": {"g": glorot(C), "b": glorot(C)}},
+    }]
+    hs = [jnp.zeros((B, Fq, C), jnp.float32)]
+    x = jnp.asarray(rng.normal(size=(B, T, Fq, C)).astype(np.float32))
+
+    monkeypatch.setenv("DPDFNET_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DPDFNET_TPU_INTRA_TM", "1")
+    ref, hs_ref = md._dprnn_fused(blocks, x, hs)
+    monkeypatch.setenv("DPDFNET_TPU_ENTRY_RELAYOUT", "1")
+    got, hs_got = md._dprnn_fused(blocks, x, hs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    for a, b in zip(hs_got, hs_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
