@@ -2139,11 +2139,16 @@ def entry_relayout_enabled() -> bool:
     """Use the Pallas entry-relayout kernel for the tm chain's input
     transpose (DPDFNET_TPU_ENTRY_RELAYOUT, read at trace time)?
 
-    Round-4 probe: XLA's big-plane transposes run ~6x over HBM
-    bandwidth on v5e (measured round 3: ~3.9 ms per 264 MB f32 plane);
-    this kernel does the same ``[B, T, F, C] -> [F, T, B, C]`` permute
-    with near-perfect block DMAs and static in-VMEM sublane extracts.
-    Default reflects the measured e2e verdict (see relayout_fm)."""
+    Round-4 probe, REJECTED (default OFF): XLA's big-plane transposes
+    run ~6x over HBM bandwidth on v5e (measured round 3: ~3.9 ms per
+    264 MB f32 plane), so this kernel does the same
+    ``[B, T, F, C] -> [F, T, B, C]`` permute with block DMAs and static
+    in-VMEM sublane extracts.  Measured e2e at the shipped headline
+    point (b384 turbo seg 112): **2696 vs 2885 xRT (-6.6%)** — the
+    [BB, TT, FB, C] input blocks gather BB*TT strided FB*C runs from the
+    batch-major plane per DMA, which costs more than the XLA transpose's
+    inefficiency saved; the fused bf16 cast does not make it back
+    either.  Kept for experimentation on other shapes."""
     return os.environ.get(
         "DPDFNET_TPU_ENTRY_RELAYOUT", "0") not in ("0", "false", "False")
 
