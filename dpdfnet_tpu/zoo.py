@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import errno
 import os
+import shutil
+import stat
 import sys
-import tempfile
 import time
+import uuid
 from dataclasses import asdict, dataclass
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Union
@@ -43,22 +45,28 @@ class ModelInfo:
 MODEL_REGISTRY: Dict[str, ModelInfo] = {
     "baseline": ModelInfo(
         "baseline", 16000, 20.0,
-        "Fastest and lowest-compute baseline model.", "baseline.pth"),
+        "16 kHz, no DPRNN blocks: cheapest model, lowest latency budget.",
+        "baseline.pth"),
     "dpdfnet2": ModelInfo(
         "dpdfnet2", 16000, 20.0,
-        "Balanced quality/speed DPDFNet-2 model.", "dpdfnet2.pth"),
+        "16 kHz with 2 DPRNN blocks: the default speed/quality trade-off.",
+        "dpdfnet2.pth"),
     "dpdfnet4": ModelInfo(
         "dpdfnet4", 16000, 20.0,
-        "Higher quality DPDFNet-4 model.", "dpdfnet4.pth"),
+        "16 kHz with 4 DPRNN blocks: stronger denoising at moderate cost.",
+        "dpdfnet4.pth"),
     "dpdfnet8": ModelInfo(
         "dpdfnet8", 16000, 20.0,
-        "Highest quality 16 kHz DPDFNet-8 model.", "dpdfnet8.pth"),
+        "16 kHz with 8 DPRNN blocks: best quality in the 16 kHz family.",
+        "dpdfnet8.pth"),
     "dpdfnet2_48khz_hr": ModelInfo(
         "dpdfnet2_48khz_hr", 48000, 20.0,
-        "High-resolution 48 kHz DPDFNet-2 model.", "dpdfnet2_48khz_hr.pth"),
+        "48 kHz high-resolution variant with 2 DPRNN blocks.",
+        "dpdfnet2_48khz_hr.pth"),
     "dpdfnet8_48khz_hr": ModelInfo(
         "dpdfnet8_48khz_hr", 48000, 20.0,
-        "High-resolution 48 kHz DPDFNet-8 model.", "dpdfnet8_48khz_hr.pth"),
+        "48 kHz high-resolution flagship with 8 DPRNN blocks.",
+        "dpdfnet8_48khz_hr.pth"),
 }
 
 DEFAULT_MODEL = "dpdfnet2"
@@ -133,17 +141,16 @@ def _candidate_model_dirs() -> List[Path]:
 
 
 def _is_valid_file(path: Path) -> bool:
+    """A usable artifact = a regular file with at least one byte in it."""
     try:
-        return path.is_file() and path.stat().st_size > 0
+        st = path.stat()
     except OSError:
         return False
+    return stat.S_ISREG(st.st_mode) and st.st_size > 0
 
 
 def _emit(message: str, notifier: Optional[Callable[[str], None]]) -> None:
-    if notifier is not None:
-        notifier(message)
-        return
-    print(message, file=sys.stderr)
+    (notifier or (lambda m: print(m, file=sys.stderr)))(message)
 
 
 # --------------------------------------------------------------------------- #
@@ -151,63 +158,71 @@ def _emit(message: str, notifier: Optional[Callable[[str], None]]) -> None:
 # --------------------------------------------------------------------------- #
 
 def _hf_url(filename: str, revision: str) -> str:
-    repo = os.environ.get("DPDFNET_TPU_HF_REPO", DEFAULT_HF_REPO).strip("/")
-    base = os.environ.get("DPDFNET_TPU_HF_BASE_URL", DEFAULT_HF_BASE).rstrip("/")
-    subdir = os.environ.get("DPDFNET_TPU_HF_SUBDIR", DEFAULT_HF_SUBDIR).strip("/")
-    remote_path = f"{subdir}/{filename}" if subdir else filename
-    return f"{base}/{repo}/resolve/{revision}/{remote_path}?download=true"
+    """Hugging Face resolve-endpoint URL for one checkpoint file.
+
+    Shape: ``<base>/<repo>/resolve/<revision>/[<subdir>/]<filename>`` —
+    every segment overridable through DPDFNET_TPU_HF_* env vars.
+    """
+    segments = [
+        os.environ.get("DPDFNET_TPU_HF_BASE_URL", DEFAULT_HF_BASE),
+        os.environ.get("DPDFNET_TPU_HF_REPO", DEFAULT_HF_REPO),
+        "resolve",
+        revision,
+        os.environ.get("DPDFNET_TPU_HF_SUBDIR", DEFAULT_HF_SUBDIR),
+        filename,
+    ]
+    return "/".join(seg.strip("/") for seg in segments if seg)
 
 
 def _download_one(url: str, destination: Path) -> None:
+    """Stream ``url`` into ``destination`` atomically.
+
+    The body lands in a uniquely-named staging file in the destination
+    directory (same filesystem, so the final rename is atomic) and is
+    fsynced before the rename; a half-written staging file never shadows
+    the real artifact, and the ``finally`` sweeps it on any failure.
+    """
     destination.parent.mkdir(parents=True, exist_ok=True)
-    temp_fd, temp_name = tempfile.mkstemp(
-        prefix=f".{destination.name}.part.", suffix=".tmp",
-        dir=str(destination.parent),
-    )
+    staging = destination.parent / (
+        f".{destination.name}.fetch-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     try:
-        with os.fdopen(temp_fd, "wb") as out:
-            with urlopen(url, timeout=60) as response:
-                while True:
-                    chunk = response.read(1024 * 1024)
-                    if not chunk:
-                        break
-                    out.write(chunk)
-            out.flush()
-            os.fsync(out.fileno())
-        os.replace(temp_name, destination)
-    except Exception:
+        with urlopen(url, timeout=90.0) as response, open(staging, "wb") as sink:
+            shutil.copyfileobj(response, sink, length=512 * 1024)
+            sink.flush()
+            os.fsync(sink.fileno())
+        staging.replace(destination)
+    finally:
         try:
-            os.unlink(temp_name)
+            staging.unlink()
         except OSError:
-            pass
-        raise
+            pass  # already renamed into place, or never created
 
 
 def _assert_writable_dir(path: Path) -> None:
+    """Fail fast, with an actionable hint, if ``path`` can't hold downloads."""
+    hint = (
+        "point DPDFNET_TPU_MODEL_DIR (or DPDFNET_TPU_CACHE_DIR) at a "
+        "directory this process can write to"
+    )
     try:
         path.mkdir(parents=True, exist_ok=True)
     except OSError as exc:
         raise RuntimeError(
-            f"Unable to create model directory: {path}. Set DPDFNET_TPU_CACHE_DIR "
-            f"or DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
+            f"Could not create the model directory '{path}' — {hint}. [{exc}]"
         ) from exc
-    probe_fd = probe_name = None
+    probe = path / f".probe-writable-{uuid.uuid4().hex}"
     try:
-        probe_fd, probe_name = tempfile.mkstemp(
-            prefix=".dpdfnet_tpu.write-test.", dir=str(path))
+        probe.touch()
     except OSError as exc:
         raise RuntimeError(
-            f"Model directory is not writable: {path}. Set DPDFNET_TPU_CACHE_DIR "
-            f"or DPDFNET_TPU_MODEL_DIR to a writable location. ({exc})"
+            f"The model directory '{path}' exists but is not writable — "
+            f"{hint}. [{exc}]"
         ) from exc
     finally:
-        if probe_fd is not None:
-            os.close(probe_fd)
-        if probe_name is not None:
-            try:
-                os.unlink(probe_name)
-            except OSError:
-                pass
+        try:
+            probe.unlink()
+        except OSError:
+            pass
 
 
 # Errno values that indicate a transient network condition (as opposed to a
