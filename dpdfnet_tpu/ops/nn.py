@@ -53,6 +53,16 @@ def apply_act(x: Array, act: Optional[str]) -> Array:
 # Convolution blocks
 # --------------------------------------------------------------------------- #
 
+def _pconv_elementwise() -> bool:
+    """Lower 1x1 depthwise convs as elementwise scales (default ON;
+    DPDFNET_TPU_PCONV_ELT=0 restores the conv_general_dilated lowering
+    for A/B measurement).  Read at trace time."""
+    import os
+
+    return os.environ.get(
+        "DPDFNET_TPU_PCONV_ELT", "1") not in ("0", "false", "False")
+
+
 def conv_block(
     p: dict,
     x: Array,
@@ -104,6 +114,18 @@ def conv_block(
     if fpad is None:
         fpad = (kf // 2, kf // 2)
     groups = x.shape[-1] // p["w"].shape[2]
+    if (kt == 1 and kf == 1 and fstride == 1 and not gemm
+            and p["w"].shape[2] == 1 and p["w"].shape[3] == x.shape[-1]
+            and fpad == (0, 0) and _pconv_elementwise()):
+        # 1x1 depthwise conv (the decoder pathway convs, reference
+        # model/modules.py:653-725 with groups == C and the pointwise stage
+        # disabled) is just a per-channel scale: one multiply per element,
+        # so the elementwise form is bit-identical to the convolution — but
+        # XLA fuses it (plus the bias/BN/act epilogue) into the surrounding
+        # add/skip chain instead of emitting a standalone convolution that
+        # writes and re-reads the full feature plane through HBM.
+        y = x * p["w"][0, 0, 0, :].astype(x.dtype)
+        return _conv_epilogue(p, y, act), new_tail
     # NOTE on lowering choice: for ordinary channel counts XLA's native conv
     # emitters win (explicit im2col for the strided C=64 convs measured 2x
     # slower in round 1).  ``gemm=True`` routes a call through the

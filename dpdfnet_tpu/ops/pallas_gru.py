@@ -2200,10 +2200,21 @@ def relayout_fm(x: Array, *, out_dtype=None, interpret: bool = False):
     dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     if F % 8 or T % 8 or B % 8:
         return jnp.transpose(x, (2, 1, 0, 3)).astype(dtype)
-    FB, TT = 8, 8
-    BB = 128
-    while B % BB:
-        BB //= 2
+    # DPDFNET_TPU_RELAYOUT_FULLF=1: take the whole F extent per block so
+    # the input DMA gathers contiguous [F, C] runs per (b, t) row (5 KB at
+    # F=40 C=64 bf16) instead of FB=8 slices (1 KB runs — the round-4
+    # rejection's cost center).  Round-5 probe knob.
+    if os.environ.get("DPDFNET_TPU_RELAYOUT_FULLF", "0") not in (
+            "0", "false", "False"):
+        FB, TT = F, 8
+        BB = 32
+        while B % BB:
+            BB //= 2
+    else:
+        FB, TT = 8, 8
+        BB = 128
+        while B % BB:
+            BB //= 2
     kern = functools.partial(_relayout_kernel, FB, TT)
     isz = max(jnp.dtype(x.dtype).itemsize, jnp.dtype(dtype).itemsize)
     lanes = max(C, 128)

@@ -33,6 +33,18 @@ Array = jax.Array
 
 _STREAM_T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
+
+def _stream_dft_gemm() -> bool:
+    """Streaming front/back DFT as the MXU GEMM (ops.stft.dft_matrices)
+    instead of jnp.fft.rfft/irfft (DPDFNET_TPU_STREAM_DFT_GEMM=1; default
+    OFF pending measurement).  Changes bits vs the FFT (not vs chunking:
+    the per-frame op sequence stays identical, so exact-mode block-size
+    invariance is preserved).  Read at trace time."""
+    import os
+
+    return os.environ.get(
+        "DPDFNET_TPU_STREAM_DFT_GEMM", "0") not in ("0", "false", "False")
+
 # Mesh axis name for batch data-parallelism (one compiled program, utterance
 # axis sharded over ICI; must agree with parallel.mesh.BATCH_AXIS).
 BATCH_AXIS = "data"
@@ -360,14 +372,59 @@ class Engine:
     # Streaming path (sample frames in, overlap-add-ready frames out)
     # ------------------------------------------------------------------ #
 
+    def _stream_ends(self):
+        """(front, back) closures for the streaming programs: sample frames
+        ``[B, T, win]`` -> scaled spec ``[B, T, F, 2]``, and network output
+        spec -> windowed time frames ``[B, T, win]`` (OLA-ready).
+
+        Two DFT lowerings, identical per-frame op sequence either way (so
+        exact-mode block-size invariance holds for both):
+        ``jnp.fft.rfft``/``irfft`` (default), or the MXU DFT/iDFT GEMMs the
+        offline path uses (``DPDFNET_TPU_STREAM_DFT_GEMM=1``; the windows
+        and irfft normalisation live inside the matrices).
+        """
+        cfg = self.cfg
+        window = self._window
+        cdt = self.compute_dtype
+        if _stream_dft_gemm():
+            dft = jnp.asarray(stft_ops.dft_matrices(
+                cfg.win_len, np.asarray(window)))
+            idft = jnp.asarray(stft_ops.idft_matrices(
+                cfg.win_len, np.asarray(window)))
+            F = cfg.win_len // 2 + 1
+
+            def front(frames):
+                out = frames @ dft
+                spec = jnp.stack([out[..., :F], out[..., F:]], -1).astype(cdt)
+                return spec * jnp.asarray(cfg.wnorm, spec.dtype)
+
+            def back(out):
+                out = out.astype(jnp.float32) / jnp.asarray(
+                    cfg.wnorm, jnp.float32)
+                flat = jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)
+                return (flat @ idft).astype(jnp.float32)
+        else:
+            def front(frames):
+                spec = jnp.fft.rfft(frames * window, axis=-1)
+                spec = jnp.stack([spec.real, spec.imag], -1).astype(cdt)
+                return spec * jnp.asarray(cfg.wnorm, spec.dtype)
+
+            def back(out):
+                out = out.astype(jnp.float32) / jnp.asarray(
+                    cfg.wnorm, jnp.float32)
+                comp = jax.lax.complex(out[..., 0], out[..., 1])
+                y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
+                return y.astype(jnp.float32)
+        return front, back
+
     def _stream_fn(self, B: int, T: int):
         key = (B, T)
         fn = self._stream_cache.get(key)
         if fn is not None:
             return fn
         cfg = self.cfg
-        window = self._window
         precision = self.precision
+        front, back = self._stream_ends()
 
         def run(params, frames: Array, st):
             # Streaming scans a *single-frame* program over the frame axis so
@@ -376,10 +433,7 @@ class Engine:
             # reference's per-frame session calls.  (The offline path instead
             # vectorises over T for throughput.)
             with jax.default_matmul_precision(precision):
-                spec = jnp.fft.rfft(frames * window, axis=-1)
-                spec = jnp.stack([spec.real, spec.imag], -1).astype(
-                    self.compute_dtype)
-                spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
+                spec = front(frames)
 
                 def body(carry, spec_t):
                     out_t, carry, _ = forward_spec(
@@ -387,11 +441,7 @@ class Engine:
                     return carry, out_t[:, 0]
 
                 st, out = jax.lax.scan(body, st, jnp.swapaxes(spec, 0, 1))
-                out = jnp.swapaxes(out, 0, 1).astype(jnp.float32)
-                out = out / jnp.asarray(cfg.wnorm, jnp.float32)
-                comp = jax.lax.complex(out[..., 0], out[..., 1])
-                y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
-                return y.astype(jnp.float32), st
+                return back(jnp.swapaxes(out, 0, 1)), st
 
         shard, rep = self._batch_specs()
         run = self._compile(run, in_specs=(rep, shard, shard),
@@ -417,21 +467,14 @@ class Engine:
         if fn is not None:
             return fn
         cfg = self.cfg
-        window = self._window
         precision = self.precision
+        front, back = self._stream_ends()
 
         def run(params, frames: Array, st):
             with jax.default_matmul_precision(precision):
-                spec = jnp.fft.rfft(frames * window, axis=-1)
-                spec = jnp.stack([spec.real, spec.imag], -1).astype(
-                    self.compute_dtype)
-                spec = spec * jnp.asarray(cfg.wnorm, spec.dtype)
+                spec = front(frames)
                 out, st, _ = forward_spec(params, cfg, spec, st)
-                out = out.astype(jnp.float32) / jnp.asarray(
-                    cfg.wnorm, jnp.float32)
-                comp = jax.lax.complex(out[..., 0], out[..., 1])
-                y = jnp.fft.irfft(comp, n=cfg.win_len, axis=-1) * window
-                return y.astype(jnp.float32), st
+                return back(out), st
 
         shard, rep = self._batch_specs()
         run = self._compile(run, in_specs=(rep, shard, shard),

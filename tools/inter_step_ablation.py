@@ -25,6 +25,20 @@ Variants:
             effective MXU per step 2C*4H + 2*C*C -> 2C*(4H+C) (-11%)
             and one less dot issue.
 
+Round-5 additive decomposition of the band above floor, each variant one
+ingredient more than the previous, all on the shipped fcfused form so the
+deltas attribute the post-fcfuse step cost (run at --reps 240+):
+
+  floor0    x load + add + out store only (no staging scratch)
+  floor     + the [x | h] staging stores            (staging cost)
+  dotonly   + the packed [2H, 5H] dot + bias,
+            h = d[:,:H] + h, out = h                (MXU issue+latency)
+  dotgates  + full r/z/n gate math, out = h         (gate VPU cost)
+  noln      fcfused with LN replaced by y + residual (tail minus LN)
+  fcfused   the shipped form                        (LN cost = vs noln)
+
+(Results ledger lives at the bottom of this docstring once measured.)
+
 Usage: python tools/inter_step_ablation.py [--rows 6144] [--T 56]
        [--reps 240]
 """
@@ -69,11 +83,29 @@ def _kernel(TS, H, variant, eps,
     cdt = h_scr.dtype
 
     def ln_res(y, x):
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        if variant == "noln":
+            # tail minus the normalisation: scale/shift + residual only
+            yn = y * g_ref[0:1, :] + bln_ref[0:1, :]
+            return (x + yn.astype(cdt)).astype(out_ref.dtype)
+        if variant == "ln1pass":
+            # one-pass moments: var = E[y^2] - mu^2 (changes bits)
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+        else:
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
         yn = (y - mu) * jax.lax.rsqrt(var + eps)
         yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
         return (x + yn.astype(cdt)).astype(out_ref.dtype)
+
+    if variant == "floor0":
+        for s in range(TS):
+            x = x_ref[s].astype(cdt)
+            h = (h + x).astype(cdt)
+            out_ref[s] = h.astype(out_ref.dtype)
+        h_scr[:] = h
+        hl_ref[0] = h
+        return
 
     if variant == "floor":
         for s in range(TS):
@@ -86,7 +118,28 @@ def _kernel(TS, H, variant, eps,
         hl_ref[0] = h
         return
 
-    if variant == "fcfused":
+    if variant in ("dotonly", "dotgates"):
+        # The fcfused dot shape ([2H, 5H]) without the tail: isolates the
+        # packed-dot MXU cost (dotonly) and then the gate VPU cost on top
+        # (dotgates).  out stores h so the HBM write traffic matches.
+        for s in range(TS):
+            x = x_ref[s].astype(cdt)
+            xh_scr[:, :H] = x
+            xh_scr[:, H:] = h
+            d = _dot(xh_scr[:], wp_ref[:]) + bp_ref[0:1, :]
+            if variant == "dotonly":
+                h = (d[:, :H] + h).astype(cdt)
+            else:
+                r = _sigmoid(d[:, :H])
+                z = _sigmoid(d[:, H:H2])
+                n = jnp.tanh(d[:, H2:H2 + H] + r * d[:, H2 + H:4 * H])
+                h = ((1.0 - z) * n + z * h).astype(cdt)
+            out_ref[s] = h.astype(out_ref.dtype)
+        h_scr[:] = h
+        hl_ref[0] = h
+        return
+
+    if variant in ("fcfused", "noln", "ln1pass"):
         # wp_ref is [2H, 4H + H]: the last H columns hold [0; Wfc] so the
         # gate dot also emits fc(h_{s-1}) (the h staged from the PREVIOUS
         # step).  s == 0's fc output belongs to the previous cell's last
@@ -172,7 +225,9 @@ def main():
     ap.add_argument("--tile", type=int, default=1536)
     ap.add_argument("--TS", type=int, default=8)
     ap.add_argument("--reps", type=int, default=240)
-    ap.add_argument("--variants", default="full,floor,nofc,nogates,fcfused")
+    ap.add_argument(
+        "--variants",
+        default="full,floor0,floor,dotonly,dotgates,noln,fcfused")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU equivalence check: fcfused vs full")
     args = ap.parse_args()
@@ -245,12 +300,13 @@ def main():
               f"{per_step_ns:8.0f} ns/step  (compile {compile_s:.0f}s)",
               flush=True)
 
-    if "full" in results:
-        base = results["full"][0]
-        print("\ndeltas vs full:")
-        for k, (ms, _) in results.items():
-            print(f"{k:>10}: {ms - base:+8.3f} ms "
-                  f"({100 * (ms - base) / base:+6.1f}%)")
+    for base_name in ("full", "fcfused"):
+        if base_name in results:
+            base = results[base_name][0]
+            print(f"\ndeltas vs {base_name}:")
+            for k, (ms, _) in results.items():
+                print(f"{k:>10}: {ms - base:+8.3f} ms "
+                      f"({100 * (ms - base) / base:+6.1f}%)")
 
 
 if __name__ == "__main__":
