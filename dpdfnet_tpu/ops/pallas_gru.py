@@ -2203,7 +2203,12 @@ def relayout_fm(x: Array, *, out_dtype=None, interpret: bool = False):
     # DPDFNET_TPU_RELAYOUT_FULLF=1: take the whole F extent per block so
     # the input DMA gathers contiguous [F, C] runs per (b, t) row (5 KB at
     # F=40 C=64 bf16) instead of FB=8 slices (1 KB runs — the round-4
-    # rejection's cost center).  Round-5 probe knob.
+    # rejection's cost center).  Round-5 probe: e2e b384 turbo seg 112
+    # measured 2718 xRT vs 2885 default — better than the FB=8 form's
+    # 2696 but still REJECTED: even with contiguous input runs the
+    # F*TT(=320) static sublane extracts per block plus the strided
+    # output runs cost more than the XLA transpose's 6x-over-bandwidth
+    # waste.  The one-transpose-per-stack XLA form stays the optimum.
     if os.environ.get("DPDFNET_TPU_RELAYOUT_FULLF", "0") not in (
             "0", "false", "False"):
         FB, TT = F, 8

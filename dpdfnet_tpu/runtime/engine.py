@@ -36,10 +36,15 @@ _STREAM_T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 def _stream_dft_gemm() -> bool:
     """Streaming front/back DFT as the MXU GEMM (ops.stft.dft_matrices)
-    instead of jnp.fft.rfft/irfft (DPDFNET_TPU_STREAM_DFT_GEMM=1; default
-    OFF pending measurement).  Changes bits vs the FFT (not vs chunking:
-    the per-frame op sequence stays identical, so exact-mode block-size
-    invariance is preserved).  Read at trace time."""
+    instead of jnp.fft.rfft/irfft (DPDFNET_TPU_STREAM_DFT_GEMM=1).
+    Changes bits vs the FFT (not vs chunking: the per-frame op sequence
+    stays identical, so exact-mode block-size invariance is preserved).
+    Read at trace time.
+
+    Round-5 probe, REJECTED as default (OFF): exact s512 turbo measured
+    3.081 ms/hop vs 3.023 with the rfft lowering (-2%) — XLA's rfft at
+    win 960 is already fine at T==1 shapes, and the [B, 960] x [960, 1026]
+    GEMM per hop costs more than it saves.  Kept for experimentation."""
     import os
 
     return os.environ.get(
