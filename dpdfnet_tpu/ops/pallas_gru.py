@@ -172,6 +172,24 @@ def _inter_fcfuse() -> bool:
         "DPDFNET_TPU_INTER_FCFUSE", "1") not in ("0", "false", "False")
 
 
+def _inter_defer() -> bool:
+    """Defer the inter fc + LayerNorm + residual tail to a vectorised XLA
+    pass outside the kernel (DPDFNET_TPU_INTER_DEFER, read at trace time;
+    requires the packed kernel and TS > 1 — T==1 exact streaming keeps
+    the fused in-kernel tail, so its per-frame op sequence is untouched).
+
+    Round-5 step ablation motivated this (the LN lane reductions are
+    ~1.2 µs of the ~3.0 µs inter step while the MXU dots and staging
+    hide under the pipeline floor), but the e2e probe REJECTED it
+    decisively: **1732 vs 2890 xRT (turbo b384) / 1206 vs 2321 (fast
+    b256)** — the lifted tail pays an h-plane HBM round-trip, a
+    [T, Fq]-transposed residual re-read of x, and sits serially between
+    chained kernels where the in-kernel form overlapped the walk.
+    Default OFF; kept for the ledger and future hardware."""
+    return os.environ.get(
+        "DPDFNET_TPU_INTER_DEFER", "0") not in ("0", "false", "False")
+
+
 def _pack_inter(wi: Array, bi: Array, wh: Array, bh: Array, dtype):
     """Pack inter-GRU weights for the packed-gate kernel.
 
@@ -206,6 +224,7 @@ def _store_inter_out(out_ref, s, v, FM):
 
 
 def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
+                               defer: bool,
                                precision, eps: float,
                                h0_ref, x_ref, wp_ref, bp_ref,
                                wfc_ref, bfc_ref, g_ref, bln_ref,
@@ -222,7 +241,16 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
     the loop.  Removes the separate half-depth fc dot from the per-step
     critical path (effective MXU/step 2C·4H + 2·C·C → 2C·(4H+C), −11%)
     at identical math: s == 0's fc output duplicates the previous cell's
-    tail dot and is discarded."""
+    tail dot and is discarded.
+
+    ``defer`` (round 5): the kernel emits the raw h-sequence and the
+    whole fc + LayerNorm + residual tail moves to a vectorised XLA pass
+    OUTSIDE the kernel (see dprnn_inter_block) — the round-5 step
+    ablation (tools/inter_step_ablation.py) showed the LN lane
+    reductions alone are ~1.2 µs of the ~3.0 µs step (the dot and
+    staging are free under the pipeline), and unlike the gates the tail
+    is NOT part of the recurrence, so it parallelises perfectly once
+    lifted out of the serial walk."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -266,11 +294,13 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
         n = jnp.tanh(d[:, H2:H2 + H] + r * d[:, H2 + H:H4])
         h = ((1.0 - z) * n + z * h).astype(h_scr.dtype)
 
-        if not fcfuse:
+        if defer:
+            _store_inter_out(out_ref, s, h.astype(out_ref.dtype), FM)
+        elif not fcfuse:
             y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
             _store_inter_out(out_ref, s, _ln_res(y, x), FM)
         x_prev = x
-    if fcfuse:
+    if fcfuse and not defer:
         y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
         _store_inter_out(out_ref, TS - 1, _ln_res(y, x_prev), FM)
     h_scr[:] = h
@@ -1344,7 +1374,9 @@ def dprnn_inter_block(
 
     if pack:
         wp, bp = _pack_inter(wi, bi, wh, bh, cdt)
-        fcfuse = (_inter_fcfuse() if fcfuse is None else fcfuse) and TS > 1
+        defer = _inter_defer() and TS > 1
+        fcfuse = ((_inter_fcfuse() if fcfuse is None else fcfuse)
+                  and TS > 1 and not defer)
         if fcfuse:
             # extend wp with the fc columns [0; Wfc] (see fcfuse in
             # _inter_block_kernel_packed); fc bias stays in bfc
@@ -1354,11 +1386,12 @@ def dprnn_inter_block(
             wp = wpx
             bp = jnp.pad(bp, ((0, 0), (0, C)))
         kern = functools.partial(
-            _inter_block_kernel_packed, TS, C, c, fcfuse,
+            _inter_block_kernel_packed, TS, C, c, fcfuse, defer,
             _PRECISIONS[precision], 1e-5)
         w_args = (wp, bp)
         scratch = [pltpu.VMEM((tile, 2 * C), cdt)]               # [x_t | h]
     else:
+        defer = False
         kern = functools.partial(
             _inter_block_kernel, TS, C, hoist, c, _PRECISIONS[precision],
             1e-5)
@@ -1408,6 +1441,27 @@ def dprnn_inter_block(
       g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 
     h_last = h_last[0]
+    if defer:
+        # Deferred tail: out holds the raw h-sequence (in the out layout —
+        # the kernel's static-store relayout applies to h just as it did
+        # to the fused result).  One fused, fully parallel XLA pass runs
+        # fc + LayerNorm + scale/shift + residual over the whole plane;
+        # the fc GEMM inherits the ambient matmul precision like the
+        # non-Pallas fallback path does.  x is re-read [T, Fq] transposed
+        # in the fm case — minor dims (B, C) stay contiguous, so the read
+        # fuses as strided runs rather than a materialised transpose.
+        y = (jnp.einsum("...c,cd->...d", out.astype(cdt), wfc.astype(cdt))
+             + bfc.astype(cdt))
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+        yn = yn * g.astype(cdt) + bln.astype(cdt)
+        if fm_batch:
+            x4 = jnp.transpose(
+                x_tm.reshape(T, Np // fm_batch, fm_batch, C), (1, 0, 2, 3))
+        else:
+            x4 = x_tm
+        out = (x4.astype(cdt) + yn).astype(dtype)
     if n_pad:
         out = out[:, :N]
         h_last = h_last[:N]

@@ -181,6 +181,34 @@ def test_dprnn_inter_block_fm_mode(pack):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("fm", [False, True])
+def test_dprnn_inter_block_deferred_tail(monkeypatch, fm):
+    """DPDFNET_TPU_INTER_DEFER (fc+LN+residual as an XLA pass outside the
+    kernel) matches the fused in-kernel tail exactly at highest
+    precision, in both row layouts."""
+    Fq, B, T, C = 12, 4, 8, 8
+    rng = np.random.default_rng(17)
+    p = _params(rng, C, C)
+    wfc = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.3)
+    bfc = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    g, bln = _lnp(rng, C)
+    x = jnp.asarray(rng.normal(size=(T, Fq * B, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(Fq * B, C)).astype(np.float32) * 0.2)
+    kw = dict(precision="highest", interpret=True, pack=True, ts=4)
+    if fm:
+        kw["fm_batch"] = B
+
+    monkeypatch.setenv("DPDFNET_TPU_INTER_DEFER", "0")
+    ref, hl_ref = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln, **kw)
+    monkeypatch.setenv("DPDFNET_TPU_INTER_DEFER", "1")
+    got, hl = pallas_gru.dprnn_inter_block(
+        x, h0, p["wi"], p["bi"], p["wh"], p["bh"], wfc, bfc, g, bln, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               atol=1e-6)
+
+
 def test_dprnn_fused_stack_intra_tm(monkeypatch):
     """The fused DPRNN stack is invariant to the intra-kernel layout
     (DPDFNET_TPU_INTRA_TM handles its own transposes)."""

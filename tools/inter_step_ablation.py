@@ -37,7 +37,34 @@ deltas attribute the post-fcfuse step cost (run at --reps 240+):
   noln      fcfused with LN replaced by y + residual (tail minus LN)
   fcfused   the shipped form                        (LN cost = vs noln)
 
-(Results ledger lives at the bottom of this docstring once measured.)
+ROUND-5 MEASURED LEDGER (v5e, rows 6144 tile 1536 TS 8 reps 240,
+ns/step; magnitudes carry ~95 ns relay bias, differences are clean):
+
+  floor0 1701 | floor 1700 | dotonly 1699   <- staging AND the packed
+                 [2H,5H] gate dot are FREE (hidden under the pipeline's
+                 load/store floor)
+  dotgates 1884-1945                        <- gate transcendentals +185
+  noln     1796-1844                        <- fc slice/residual/store ~free
+  fcfused  3013-3051 (shipped)              <- the LN mean/var lane
+                 reductions alone are ~1.2 us/step = 39% of the step
+  full     3236                             <- separate fc dot +0.2 us
+  ln1pass  3193  REJECTED (one-pass moments: slower AND changes bits)
+  lnmxu    4596  REJECTED (LN reductions as HIGHEST MXU dots against
+                 ones[H,128]/H: 6-pass dots on the critical path cost
+                 far more than the VPU trees they replace)
+  lnmxu1   2691  REJECTED (-12% with 1-pass bf16 LN dots — but bf16
+                 statistics break the f32-grade tier contract)
+
+The follow-up e2e probe (DPDFNET_TPU_INTER_DEFER: emit raw h, run
+fc+LN+residual as a vectorised XLA pass outside the kernel) measured
+**1732 vs 2890 xRT turbo b384 / 1206 vs 2321 fast b256 — REJECTED
+hard**: outside the kernel the tail's HBM round-trip (h plane out,
+h + x planes back in, the [T,Fq]-transposed residual read) plus its
+serial position between chained kernels costs ~3x what the in-kernel
+VPU reductions do.  CONCLUSION: the fused in-kernel tail is the
+measured optimum; the ~1.2 us LN band is structural on this VPU (its
+cost is the price of keeping the tail inside the pipelined walk, and
+every lift-out loses more).
 
 Usage: python tools/inter_step_ablation.py [--rows 6144] [--T 56]
        [--reps 240]
@@ -71,7 +98,7 @@ def _dot(a, b):
 
 def _kernel(TS, H, variant, eps,
             h0_ref, x_ref, wp_ref, bp_ref, wfc_ref, bfc_ref,
-            g_ref, bln_ref, out_ref, hl_ref, h_scr, xh_scr):
+            g_ref, bln_ref, jm_ref, out_ref, hl_ref, h_scr, xh_scr):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -86,6 +113,25 @@ def _kernel(TS, H, variant, eps,
         if variant == "noln":
             # tail minus the normalisation: scale/shift + residual only
             yn = y * g_ref[0:1, :] + bln_ref[0:1, :]
+            return (x + yn.astype(cdt)).astype(out_ref.dtype)
+        if variant in ("lnmxu", "lnmxu1"):
+            lnprec = (jax.lax.Precision.DEFAULT if variant == "lnmxu1"
+                      else jax.lax.Precision.HIGHEST)
+            # both LN reductions as MXU dots against ones[H,128]/H: the
+            # [tile, 128] results carry the row statistic replicated
+            # across all lanes, so the broadcast back is free and the VPU
+            # never runs a lane-reduction tree.  Two-pass (mu first, then
+            # var of the centered values) — no cancellation.  HIGHEST so
+            # the statistics stay f32-grade.
+            mu = jax.lax.dot_general(
+                y, jm_ref[:], MM, precision=lnprec,
+                preferred_element_type=jnp.float32)
+            yc = y - mu[:, :H]
+            var = jax.lax.dot_general(
+                yc * yc, jm_ref[:], MM, precision=lnprec,
+                preferred_element_type=jnp.float32)
+            yn = yc * jax.lax.rsqrt(var[:, :H] + eps)
+            yn = yn * g_ref[0:1, :] + bln_ref[0:1, :]
             return (x + yn.astype(cdt)).astype(out_ref.dtype)
         if variant == "ln1pass":
             # one-pass moments: var = E[y^2] - mu^2 (changes bits)
@@ -139,7 +185,7 @@ def _kernel(TS, H, variant, eps,
         hl_ref[0] = h
         return
 
-    if variant in ("fcfused", "noln", "ln1pass"):
+    if variant in ("fcfused", "noln", "ln1pass", "lnmxu", "lnmxu1"):
         # wp_ref is [2H, 4H + H]: the last H columns hold [0; Wfc] so the
         # gate dot also emits fc(h_{s-1}) (the h staged from the PREVIOUS
         # step).  s == 0's fc output belongs to the previous cell's last
@@ -195,7 +241,7 @@ def build(variant, rows, T, H, tile, TS, dtype, interpret=False):
                          memory_space=pltpu.VMEM),                # h0
             pl.BlockSpec((TS, tile, H), tmap,
                          memory_space=pltpu.VMEM),                # x
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=[
             pl.BlockSpec((TS, tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, H), lambda i, t: (0, i, 0),
@@ -253,12 +299,13 @@ def main():
     bfc = jnp.asarray(ws * rng.normal(size=(1, H)).astype(np.float32))
     g = jnp.ones((1, H), jnp.float32)
     bln = jnp.zeros((1, H), jnp.float32)
-    wargs = (wp, bp, wfc, bfc, g, bln)
+    jm = jnp.asarray(np.full((H, 128), 1.0 / H, np.float32))
+    wargs = (wp, bp, wfc, bfc, g, bln, jm)
 
     if args.interpret:
         ref = build("full", rows, T, H, tile, TS, dtype, interpret=True)(
             h0, x, *wargs)
-        for variant in ("fcfused", "nofc"):
+        for variant in ("fcfused", "lnmxu", "nofc"):
             out = build(variant, rows, T, H, tile, TS, dtype,
                         interpret=True)(h0, x, *wargs)
             if variant == "nofc":
