@@ -139,7 +139,9 @@ def _dprnn_block(
     xt = jnp.swapaxes(x, 1, 2).reshape(B * Fq, T, C)         # [(B F), T, C]
     yt, h_new = onn.gru_seq(p["inter"]["gru"], xt, h0=h_inter.reshape(B * Fq, C))
     yt = onn.layer_norm(p["inter"]["ln"], onn.linear(p["inter"]["fc"], yt))
-    y = x + jnp.swapaxes(yt.reshape(B, Fq, T, C), 1, 2)
+    # .astype keeps the plane at x's dtype when the carried hidden rides
+    # in f32 (exact-stream bf16 tiers) — yt would otherwise promote it
+    y = x + jnp.swapaxes(yt.reshape(B, Fq, T, C), 1, 2).astype(x.dtype)
     return y, h_new.reshape(B, Fq, C)
 
 
@@ -256,8 +258,13 @@ def _dprnn_fused(
                 precision=prec, interpret=interp, fm_batch=B,
             )                                          # [Fq, T, B, C]
             plane = out4.reshape(Fq, T * B, C)
+            # carried hidden keeps the STATE dtype (h.dtype), not the
+            # plane dtype: the exact-stream path carries f32 hiddens
+            # under bf16 planes so the per-frame bf16<->f32 converts
+            # around every kernel become no-ops (round-5 profile: those
+            # standalone converts were ~13% of the T==1 step)
             new_hs.append(jnp.swapaxes(
-                h_new.reshape(Fq, B, C), 0, 1).astype(x.dtype))
+                h_new.reshape(Fq, B, C), 0, 1).astype(h.dtype))
         if out_fm:
             # hand back the chain's native freq-leading plane — the
             # exit transpose (one of the two remaining big-plane XLA
@@ -306,9 +313,10 @@ def _dprnn_fused(
                 precision=prec, interpret=interp,
             )
         xt = out.reshape(T, B, Fq, C)
-        # keep the carried hidden at the model's state dtype (the inter
-        # kernel returns its f32 compute dtype under bf16 plane IO)
-        new_hs.append(h_new.reshape(B, Fq, C).astype(x.dtype))
+        # keep the carried hidden at the STATE's dtype (the inter
+        # kernel returns its f32 compute dtype under bf16 plane IO;
+        # the exact-stream state carries f32 hiddens — see init_stream_state)
+        new_hs.append(h_new.reshape(B, Fq, C).astype(h.dtype))
     out = jnp.swapaxes(xt, 0, 1).astype(x.dtype)
     return (out, new_hs, "bt") if out_fm else (out, new_hs)
 

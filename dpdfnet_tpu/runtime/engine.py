@@ -34,6 +34,17 @@ Array = jax.Array
 _STREAM_T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
+def _state_f32_hiddens() -> bool:
+    """Carry the DPRNN inter-GRU hiddens in f32 under bf16 compute
+    (DPDFNET_TPU_STATE_F32H, default ON; read at state-init time) — see
+    Engine.init_stream_state.  =0 restores the uniform compute-dtype
+    state for A/B measurement."""
+    import os
+
+    return os.environ.get(
+        "DPDFNET_TPU_STATE_F32H", "1") not in ("0", "false", "False")
+
+
 def _stream_dft_gemm() -> bool:
     """Streaming front/back DFT as the MXU GEMM (ops.stft.dft_matrices)
     instead of jnp.fft.rfft/irfft (DPDFNET_TPU_STREAM_DFT_GEMM=1).
@@ -517,6 +528,19 @@ class Engine:
     def init_stream_state(self, batch: int = 1):
         st = state_lib.init_state(self.cfg, batch=batch,
                                   dtype=self.compute_dtype)
+        if self.compute_dtype != jnp.float32 and _state_f32_hiddens():
+            # DPRNN inter-GRU hiddens ride in f32 even under bf16 planes:
+            # the kernels compute f32 internally, so a bf16 state forces
+            # two standalone bf16<->f32 converts per block per frame on
+            # the exact path — profiled round 5 at ~13% of the T==1 step
+            # (s512 turbo).  f32 carry makes those casts no-ops and
+            # matches the offline path's in-kernel f32 carry.  Conv tails
+            # and delay lines stay at compute dtype (they concatenate
+            # with the activation planes).
+            st["dprnn_erb"] = [h.astype(jnp.float32)
+                               for h in st["dprnn_erb"]]
+            st["dprnn_df"] = [h.astype(jnp.float32)
+                              for h in st["dprnn_df"]]
         if self.mesh is not None:
             if batch % int(self.mesh.size) != 0:
                 raise ValueError(

@@ -109,13 +109,12 @@ class MultiStreamEnhancer:
         self._reset_slot(sid)
 
     def _reset_slot(self, sid: int) -> None:
-        from .models import state as state_lib
-
-        # Match the pool state's dtype (bf16 on the turbo tier): an f32
-        # leaf scattered into a bf16 tree is an unsafe cast JAX is
-        # deprecating into an error.
-        fresh = state_lib.init_state(self._engine.cfg, batch=1,
-                                     dtype=self._engine.compute_dtype)
+        # Build the fresh slot through the engine so every leaf matches
+        # the pool state's per-leaf dtype (f32 recurrent hiddens under
+        # bf16 planes — see Engine.init_stream_state): a mismatched leaf
+        # scattered into the tree is an unsafe cast JAX is deprecating
+        # into an error.
+        fresh = self._engine.init_stream_state(batch=1)
 
         def put(cur, new):
             return cur.at[sid].set(new[0])

@@ -161,12 +161,14 @@ class StreamEnhancer:
 
         st = state_lib.unflatten_state(
             self._engine.cfg, snapshot["model_state"], batch=1)
-        # restore at the engine's compute dtype (bf16 on the turbo tier) —
-        # an f32 tree would trace/compile a second program per shape and
-        # diverge from the un-interrupted stream's dtype
-        cdt = self._engine.compute_dtype
+        # restore each leaf at the engine's live state dtype (bf16 planes
+        # with f32 recurrent hiddens on the turbo tier — see
+        # Engine.init_stream_state): a uniformly-f32 tree would trace a
+        # second program per shape and diverge from the un-interrupted
+        # stream's dtypes
+        template = self._engine.init_stream_state(batch=1)
         self._state = jax.tree_util.tree_map(
-            lambda x: x.astype(cdt), st)
+            lambda x, t: x.astype(t.dtype), st, template)
         self._in_buf = np.asarray(snapshot["in_buf"], np.float32).copy()
         self._ola_tail = np.asarray(snapshot["ola_tail"], np.float32).copy()
         self._input_sr = snapshot["input_sr"]
