@@ -249,22 +249,26 @@ def _dprnn_fused(
                 intra["ln"]["g"], intra["ln"]["b"],
                 precision=prec, interpret=interp, fm_batch=B,
             )                                          # [T, Fq, B, C]
-            h_fm = jnp.swapaxes(h, 0, 1).reshape(Fq * B, C)
+            # h stays in its batch-major state layout: the kernel ingests
+            # and emits it with static window extracts (h_bm), so neither
+            # an XLA transpose copy nor (with f32 carried hiddens, see
+            # Engine.init_stream_state) a dtype convert touches the
+            # hidden per frame — both were profiled round 5 as the top
+            # per-frame fixed costs of the exact streaming path.
+            use_hbm = pallas_gru.h_ingest_enabled()
             out4, h_new = pallas_gru.dprnn_inter_block(
-                xi4.reshape(T, Fq * B, C), h_fm,
+                xi4.reshape(T, Fq * B, C),
+                h if use_hbm else jnp.swapaxes(h, 0, 1).reshape(Fq * B, C),
                 g["wi"], g["bi"], g["wh"], g["bh"],
                 inter["fc"]["w"], inter["fc"]["b"],
                 inter["ln"]["g"], inter["ln"]["b"],
                 precision=prec, interpret=interp, fm_batch=B,
+                h_bm=use_hbm,
             )                                          # [Fq, T, B, C]
             plane = out4.reshape(Fq, T * B, C)
-            # carried hidden keeps the STATE dtype (h.dtype), not the
-            # plane dtype: the exact-stream path carries f32 hiddens
-            # under bf16 planes so the per-frame bf16<->f32 converts
-            # around every kernel become no-ops (round-5 profile: those
-            # standalone converts were ~13% of the T==1 step)
-            new_hs.append(jnp.swapaxes(
-                h_new.reshape(Fq, B, C), 0, 1).astype(h.dtype))
+            if not use_hbm:
+                h_new = jnp.swapaxes(h_new.reshape(Fq, B, C), 0, 1)
+            new_hs.append(h_new.astype(h.dtype))
         if out_fm:
             # hand back the chain's native freq-leading plane — the
             # exit transpose (one of the two remaining big-plane XLA

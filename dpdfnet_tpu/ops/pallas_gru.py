@@ -224,7 +224,7 @@ def _store_inter_out(out_ref, s, v, FM):
 
 
 def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
-                               defer: bool,
+                               defer: bool, h_bm: bool,
                                precision, eps: float,
                                h0_ref, x_ref, wp_ref, bp_ref,
                                wfc_ref, bfc_ref, g_ref, bln_ref,
@@ -250,12 +250,24 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
     reductions alone are ~1.2 µs of the ~3.0 µs step (the dot and
     staging are free under the pipeline), and unlike the gates the tail
     is NOT part of the recurrence, so it parallelises perfectly once
-    lifted out of the serial walk."""
+    lifted out of the serial walk.
+
+    ``h_bm`` (round 5, fm mode only): h0/h_last ride in the STATE's
+    batch-major ``[B, Fq, C]`` layout and the kernel permutes them to its
+    f-major row order with FM static ``[B, C]`` window extracts at t==0
+    (ingest) / the last t (emit) — the same static-store machinery the
+    out relayout uses.  Removes the two per-frame XLA transpose copies
+    of every block's hidden state from the exact streaming path."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        h_scr[:] = h0_ref[0]
+        if h_bm:
+            Brows = h_scr.shape[0] // FM
+            for j in range(FM):
+                h_scr[j * Brows:(j + 1) * Brows] = h0_ref[0, :, j]
+        else:
+            h_scr[:] = h0_ref[0]
 
     h = h_scr[:]
     H2 = 2 * H
@@ -304,7 +316,14 @@ def _inter_block_kernel_packed(TS: int, H: int, FM: int, fcfuse: bool,
         y = _kdot(h, wfc_ref[:], precision) + bfc_ref[0:1, :]
         _store_inter_out(out_ref, TS - 1, _ln_res(y, x_prev), FM)
     h_scr[:] = h
-    hl_ref[0] = h
+    if h_bm:
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            Brows = h_scr.shape[0] // FM
+            for j in range(FM):
+                hl_ref[0, :, j] = h[j * Brows:(j + 1) * Brows]
+    else:
+        hl_ref[0] = h
 
 
 _FORCE_DISABLED = contextvars.ContextVar("dpdfnet_force_disabled", default=0)
@@ -1289,7 +1308,7 @@ def _inter_block_kernel(TS: int, H: int, hoist: bool, FM: int, precision,
 
 @functools.partial(jax.jit,
                    static_argnames=("precision", "interpret", "ts", "pack",
-                                    "fm_batch", "fcfuse"))
+                                    "fm_batch", "fcfuse", "h_bm"))
 def dprnn_inter_block(
     x_tm: Array,
     h0: Array,
@@ -1308,8 +1327,16 @@ def dprnn_inter_block(
     pack: bool | None = None,
     fm_batch: int | None = None,
     fcfuse: bool | None = None,
+    h_bm: bool = False,
 ) -> Tuple[Array, Array]:
     """Fused DPRNN inter stage over time-major ``x_tm: [T, N, C]``.
+
+    ``h_bm=True`` (requires ``fm_batch``): ``h0`` arrives and ``h_last``
+    returns in the state's batch-major ``[B, Fq, C]`` layout; the packed
+    kernel permutes to/from its f-major row order with static in-VMEM
+    window extracts (see ``_inter_block_kernel_packed``), removing the
+    two per-call XLA transpose copies of the hidden.  Falls back to an
+    explicit transpose when the packed kernel is disabled.
 
     Returns (out_tm [T, N, C], h_last [N, C]) where
     ``out[t] = x[t] + LN(FC(GRUstep(h, x[t])))`` — matching
@@ -1360,6 +1387,12 @@ def dprnn_inter_block(
     tmap = lambda i, t: (t, i, 0)
     hoist = _inter_hoist() and TS > 1
     pack = (_inter_pack() if pack is None else pack) and not hoist
+    h_bm_req = h_bm and bool(fm_batch)
+    h_bm = h_bm_req and pack
+    if h_bm_req and not h_bm:
+        # packed kernel off: take the explicit-transpose form and hand
+        # h_last back in the caller's batch-major layout below
+        h0 = jnp.swapaxes(h0, 0, 1).reshape(Np, C)
     # Scoped-vmem self-sizing (cf. dprnn_intra_block): the x/out pipeline
     # blocks scale with TS*tile and the hoisted xp scratch adds
     # TS*tile*3C f32.
@@ -1386,7 +1419,7 @@ def dprnn_inter_block(
             wp = wpx
             bp = jnp.pad(bp, ((0, 0), (0, C)))
         kern = functools.partial(
-            _inter_block_kernel_packed, TS, C, c, fcfuse, defer,
+            _inter_block_kernel_packed, TS, C, c, fcfuse, defer, h_bm,
             _PRECISIONS[precision], 1e-5)
         w_args = (wp, bp)
         scratch = [pltpu.VMEM((tile, 2 * C), cdt)]               # [x_t | h]
@@ -1410,23 +1443,32 @@ def dprnn_inter_block(
                                       dtype)
                  if fm_batch else
                  jax.ShapeDtypeStruct((T, Np, C), dtype))
+    if h_bm:
+        # h0/h_last stay in the state's [B, Fq, C] layout; blocks carry
+        # the tile's c f-slices across the middle axis
+        h_spec = pl.BlockSpec((1, fm_batch, c, C), lambda i, t: (0, 0, i, 0),
+                              memory_space=pltpu.VMEM)
+        hl_shape = jax.ShapeDtypeStruct(
+            (1, fm_batch, Np // fm_batch, C), cdt)
+    else:
+        h_spec = pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        hl_shape = jax.ShapeDtypeStruct((1, Np, C), cdt)
     out, h_last = pl.pallas_call(
         kern,
         grid=(Np // tile, T // TS),
         in_specs=[
-            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
-                         memory_space=pltpu.VMEM),                # h0
+            h_spec,                                               # h0
             pl.BlockSpec((TS, tile, C), tmap,
                          memory_space=pltpu.VMEM),                # x block
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(w_args) + 4),
         out_specs=[
             out_spec,
-            pl.BlockSpec((1, tile, C), lambda i, t: (0, i, 0),
-                         memory_space=pltpu.VMEM),                # h_last
+            h_spec,                                               # h_last
         ],
         out_shape=[
             out_shape,
-            jax.ShapeDtypeStruct((1, Np, C), cdt),
+            hl_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, C), cdt),                           # h carry
@@ -1441,6 +1483,9 @@ def dprnn_inter_block(
       g.reshape(1, -1).astype(cdt), bln.reshape(1, -1).astype(cdt))
 
     h_last = h_last[0]
+    if h_bm_req and not h_bm:
+        h_last = jnp.swapaxes(
+            h_last.reshape(Np // fm_batch, fm_batch, C), 0, 1)
     if defer:
         # Deferred tail: out holds the raw h-sequence (in the out layout —
         # the kernel's static-store relayout applies to h just as it did
@@ -2204,6 +2249,24 @@ def dprnn_inter_block_v2(
 # ---------------------------------------------------------------------------
 # Entry relayout: batch-major conv plane -> freq-leading chain plane
 # ---------------------------------------------------------------------------
+
+
+def h_ingest_enabled() -> bool:
+    """Ingest/emit the inter-GRU hidden in its batch-major state layout
+    through the kernel's own static window extracts instead of XLA
+    transpose copies (DPDFNET_TPU_H_INGEST, read at trace time).
+
+    Round-5 probe, REJECTED (default OFF): motivated by the exact-stream
+    profile (per-frame h swapaxes pairs ≈ 12% 'data formatting'), but at
+    T==1 every grid cell is both first and last step, so the FM mid-dim
+    ``h0_ref[0, :, j]`` window extracts + ``hl_ref[0, :, j]`` stores run
+    per cell per frame — measured exact s256 turbo **1.723 vs 1.354
+    ms/hop (+27%)**: the same mid-dim sublane-extract cost that killed
+    the entry-relayout kernels.  The s512 shape additionally tripped an
+    MLIR lowering-cache KeyError in this jax version.  The XLA transpose
+    copies stay the cheaper currency for the hidden."""
+    return os.environ.get(
+        "DPDFNET_TPU_H_INGEST", "0") not in ("0", "false", "False")
 
 
 def entry_relayout_enabled() -> bool:
