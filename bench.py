@@ -39,9 +39,12 @@ def main() -> int:
     # (b256/2711, b384/2743, b512/2743 xRT) — b384 keeps the smaller
     # footprint at equal speed.  The f32-activation tiers peak at b256
     # (b320 drops = HBM pressure, larger OOMs) — so the default batch
-    # follows the tier.
+    # follows the tier.  Round 5: on the final kernels the turbo batch
+    # curve tilts up at the top — b512 s112 measured 2901-2904 xRT vs
+    # 2881-2890 at b384 (3 runs each, same session) — so turbo now
+    # defaults to b512.
     batch = int(os.environ.get(
-        "BENCH_BATCH", "384" if tier == "turbo" else "256"))
+        "BENCH_BATCH", "512" if tier == "turbo" else "256"))
     # run_bench resolves quality-tier names (QUALITY_TIERS) itself.
     print(run_bench(model=model, batch=batch, seconds=seconds, reps=reps,
                     random_weights=True, precision=tier))
