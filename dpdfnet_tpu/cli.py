@@ -147,12 +147,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--model", default="dpdfnet8_48khz_hr",
                          choices=supported_models())
     # defaults mirror the headline bench (python bench.py): the 'turbo'
-    # tier at its per-tier batch sweet spot (384 turbo / 256 otherwise) —
+    # tier at its per-tier batch sweet spot (512 turbo / 256 otherwise) —
     # so documented numbers reproduce as-is.  (The enhance API's quality
     # default remains the f32-grade 'high'.)
     p_bench.add_argument("--batch", type=int, default=None,
                          help="Utterance batch (default: per-tier sweet "
-                              "spot — 384 for turbo, 256 otherwise).")
+                              "spot — 512 for turbo, 256 otherwise).")
     p_bench.add_argument("--seconds", type=float, default=10.0)
     p_bench.add_argument("--reps", type=int, default=5)
     p_bench.add_argument("--precision", default="turbo",
@@ -398,7 +398,7 @@ def _run_bench(args: argparse.Namespace) -> int:
                 hops_per_call=0 if hops is None else hops)
         else:
             batch = args.batch if args.batch is not None else (
-                384 if args.precision == "turbo" else 256)
+                512 if args.precision == "turbo" else 256)
             result = run_bench(model=args.model, batch=batch,
                                seconds=args.seconds, reps=args.reps,
                                random_weights=args.random_weights,
